@@ -1,0 +1,113 @@
+"""ResNet-50 feature trunk in flax.linen, NHWC, TPU-native.
+
+Re-designs the reference's vendored torchvision Bottleneck trunk
+(reference: models/hmr.py:9-48 and the stem/stage construction repeated in
+every model class, e.g. models/hmr.py:146-155,184-199).  Differences are
+deliberate TPU choices, not behavioral changes:
+  * NHWC layout (XLA:TPU's native conv layout — avoids transposes),
+  * a single parameterized trunk shared by every model in the zoo,
+  * optional bfloat16 compute dtype with float32 params/statistics,
+  * BatchNorm momentum/eps matched to torch defaults (0.9 / 1e-5) and kept
+    per-replica under data parallelism to preserve the reference's
+    DataParallel-BN semantics (SURVEY.md §2.3).
+
+Returns the full skip pyramid (x0..x4) used by the Reconstruct decoders.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1(x4) residual block with projection shortcut."""
+
+    planes: int
+    stride: int = 1
+    project: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = bn("bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2",
+        )(out)
+        out = bn("bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = bn("bn3")(out)
+
+        if self.project:
+            residual = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+
+class ResNetStage(nn.Module):
+    planes: int
+    blocks: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Bottleneck(
+            self.planes, stride=self.stride, project=True, dtype=self.dtype, name="block0"
+        )(x, train)
+        for i in range(1, self.blocks):
+            x = Bottleneck(self.planes, dtype=self.dtype, name=f"block{i}")(x, train)
+        return x
+
+
+class ResNet50Trunk(nn.Module):
+    """Stem + 4 stages; emits the (x0..x4) skip pyramid.
+
+    x0 is the *pre-BN* stem conv output (64ch, H/2) exactly as the reference
+    decoders consume it (models/hmr.py:804-814).
+    For a 224 input: x0 112^2x64, x1 56^2x256, x2 28^2x512, x3 14^2x1024,
+    x4 7^2x2048.
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x0 = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(x0)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        x1 = ResNetStage(64, self.layers[0], 1, self.dtype, name="layer1")(h, train)
+        x2 = ResNetStage(128, self.layers[1], 2, self.dtype, name="layer2")(x1, train)
+        x3 = ResNetStage(256, self.layers[2], 2, self.dtype, name="layer3")(x2, train)
+        x4 = ResNetStage(512, self.layers[3], 2, self.dtype, name="layer4")(x3, train)
+        return x0, x1, x2, x3, x4

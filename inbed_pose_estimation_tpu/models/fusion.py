@@ -1,0 +1,149 @@
+"""Two-stage self-refinement fusion models (mask-gated appearance recovery).
+
+TPU-native re-design of IR_DEPTH_Fusion / RGB_DEPTH_Fusion /
+IR_DEPTH_PM_Fusion (reference: models/hmr.py:1628-2072):
+  stage 1: shared HMR encoder regresses SMPL params from covered inputs,
+  mask:    SMPL vertices are splatted into a body mask (our vectorized
+           rasterizer replaces the reference's per-sample python scatter
+           loop, models/hmr.py:1697-1739),
+  recover: mask-gated inputs + encoder features drive small decoders that
+           hallucinate the *uncovered* appearance of each modality,
+  stage 2: the same encoder re-regresses SMPL params from the recovered
+           images.
+
+The SMPL model is passed as a pytree argument (the reference passes an
+nn.Module, trainer.py's `smpl` / eval.py:201), so the whole two-stage graph
+incl. LBS compiles into one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.mask_raster import render_body_mask
+from ..smpl.model import SMPLModel, lbs
+from .decoder import ResBlock, pixel_shuffle
+from .hmr import HMRCore, HMROutput
+
+Dtype = Any
+
+
+class FusionOutput(NamedTuple):
+    stage1: HMROutput
+    stage2: HMROutput
+    recovered: dict        # modality -> [B, H, W, 1] uncovered-appearance image
+    mask: jnp.ndarray      # [B, H, W, 1]
+
+
+class _FeatUp(nn.Module):
+    """x4 (7^2x2048) -> 112^2x128 via 4 conv+PixelShuffle steps
+    (reference dec1, models/hmr.py:1643-1652)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x
+        for i in range(4):
+            h = nn.Conv(128 * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name=f"conv{i}")(h)
+            h = pixel_shuffle(h, 2)
+        return h
+
+
+class _RecoverHead(nn.Module):
+    """Mask-gated single-modality recovery decoder
+    (reference decIR2/decIR3, models/hmr.py:1664-1673)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gated_img, feat_up, x0, train: bool = False):
+        h = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="down")(gated_img)
+        h = ResBlock(64, self.dtype, name="res_in")(h, train)
+        h = jnp.concatenate([feat_up, h, x0], axis=-1)  # 128 + 64 + 64
+        h = nn.Conv(64 * 4, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="mix")(h)
+        h = ResBlock(256, self.dtype, name="res_mix")(h, train)
+        h = pixel_shuffle(h, 2)
+        h = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="proj")(h)
+        return h
+
+
+class TwoStageFusion(nn.Module):
+    """Generic N-modality two-stage fusion regressor.
+
+    `recover_heads` names which input slots get an uncovered-appearance
+    recovery decoder; stage 2 re-runs the shared encoder on the recovered
+    images (channel-concatenated).  With inputs (ir, depth) and
+    recover_heads ("ir", "depth") this is IR_DEPTH_Fusion.
+    """
+
+    mean_pose: Tuple[float, ...]
+    mean_shape: Tuple[float, ...]
+    mean_cam: Tuple[float, ...]
+    recover_heads: Tuple[str, ...] = ("ir", "depth")
+    n_iter: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Sequence[jnp.ndarray],
+        smpl_model: SMPLModel,
+        train: bool = False,
+    ) -> FusionOutput:
+        x = jnp.concatenate(list(inputs), axis=-1)
+        B, H = x.shape[0], x.shape[1]
+
+        encoder = HMRCore(
+            mean_pose=self.mean_pose,
+            mean_shape=self.mean_shape,
+            mean_cam=self.mean_cam,
+            n_iter=self.n_iter,
+            return_pyramid=True,
+            dtype=self.dtype,
+            name="encoder",
+        )
+
+        # Stage 1.
+        out1 = encoder(x, train=train)
+        x0, _, _, _, x4 = out1.pyramid
+
+        # Body mask from stage-1 SMPL estimate (stop-gradient like the
+        # reference's masks.data at models/hmr.py:1751).
+        verts, _ = lbs(smpl_model, out1.betas, out1.rotmat)
+        verts = jax.lax.stop_gradient(verts)
+        cam_sg = jax.lax.stop_gradient(out1.cam)
+        mask = render_body_mask(verts, cam_sg, img_res=H)
+        mask = jnp.clip(mask, 0.0, 1.0)
+
+        feat_up = _FeatUp(dtype=self.dtype, name="feat_up")(x4)
+
+        # Recovery decoders: one per gated modality.  The gated slot index is
+        # the position of the recovered modality in `inputs` (last slots for
+        # ir_depth_pm which gates ir/depth only, matching the reference).
+        recovered = {}
+        n_rec = len(self.recover_heads)
+        gate_slots = list(range(len(inputs)))[:n_rec] if n_rec <= len(inputs) else list(range(len(inputs)))
+        for head, slot in zip(self.recover_heads, gate_slots):
+            gated = inputs[slot] * mask
+            recovered[head] = _RecoverHead(dtype=self.dtype, name=f"recover_{head}")(
+                gated, feat_up, x0, train
+            )
+
+        # Stage 2: re-regress from the recovered appearance.
+        stage2_in = jnp.concatenate([recovered[h] for h in self.recover_heads], axis=-1)
+        if stage2_in.shape[-1] != x.shape[-1]:
+            # Width mismatch (e.g. rgb_depth_fusion recovers only depth):
+            # append the untouched leading modalities like the reference's
+            # single-recovery variants.
+            stage2_in = jnp.concatenate(
+                [inputs[i] for i in range(len(inputs) - 1)] + [stage2_in], axis=-1
+            )
+        out2 = encoder(stage2_in, train=train)
+
+        return FusionOutput(stage1=out1, stage2=out2, recovered=recovered, mask=mask)

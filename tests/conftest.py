@@ -1,0 +1,23 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices.
+
+Multi-device sharding tests run on a virtual CPU mesh
+(xla_force_host_platform_device_count) per SURVEY.md §4(c) so no real TPUs
+are needed; numeric tests are also deterministic on CPU.
+
+Note: this machine's sitecustomize registers a remote-TPU ("axon") PJRT
+plugin at interpreter startup and pins jax_platforms, so the JAX_PLATFORMS
+env var alone is not enough — we must override via jax.config *before* any
+backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
