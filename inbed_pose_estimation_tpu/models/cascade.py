@@ -1,0 +1,46 @@
+"""Cascade-in-graph: the cashmrV2 multi-pass refinement as one XLA program.
+
+The reference orchestrates the cascade *outside* the model with a python
+loop of separate CUDA launches (reference: train/trainer.py:503-531,
+eval.py:171-178): each iteration re-runs the full network with the depth
+input replaced by the previous iteration's reconstructed (uncovered) depth.
+Here the loop is unrolled inside one jit graph (num_cas_iters is small and
+static), so XLA schedules all ResNet-50 passes back-to-back with no host
+round-trips, and the intermediate depth maps never leave HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Sequence
+
+import jax.numpy as jnp
+
+from .hmr import HMROutput
+
+
+def cascade_apply(
+    apply_fn: Callable[..., HMROutput],
+    inputs: Sequence[jnp.ndarray],
+    num_cas_iters: int,
+    feed_index: int = 2,
+    recon_key: str = "depth",
+) -> List[HMROutput]:
+    """Run the depth-feedback cascade.
+
+    Args:
+      apply_fn: closure of (modality tuple) -> HMROutput (variables bound).
+      inputs: modality tuple; slot `feed_index` (depth) is replaced by the
+        previous stage's reconstruction from stage 1 on.
+      num_cas_iters: total number of forward passes (reference semantics:
+        both trainer and eval run exactly num_cas_iters model calls).
+    Returns:
+      List of per-stage HMROutputs (last element is the final prediction).
+    """
+    outs: List[HMROutput] = []
+    current = list(inputs)
+    for stage in range(max(int(num_cas_iters), 1)):
+        out = apply_fn(tuple(current))
+        outs.append(out)
+        if recon_key in out.recon:
+            current[feed_index] = out.recon[recon_key]
+    return outs

@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers: the framework's parallelism layer.
+
+TPU-native replacement for the reference's only parallelism mechanism,
+single-process `nn.DataParallel` (reference: train/trainer.py:43,
+eval.py:529; SURVEY.md §2.3): a 1-D `Mesh(('data',))` over all local chips
+(ICI), with the batch sharded on axis 0 and parameters replicated.  Instead
+of DataParallel's per-step weight broadcast + output gather, weights stay
+resident and XLA inserts psum collectives for gradient reduction under jit.
+
+Multi-host scale-out uses the same mesh spanning hosts after
+`jax.distributed.initialize` (DCN); nothing else changes.
+
+BatchNorm statistics stay per-shard (no cross-replica pmean), matching the
+reference's DataParallel-BN semantics exactly (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) across the data axis; replicate trailing dims."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Device-put a pytree of host arrays with batch-dim sharding."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Device-put a pytree fully replicated across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
+    """Pad every leaf's dim 0 up to a multiple (for even sharding); returns
+    (padded_tree, original_batch_size).  Padding repeats the last element so
+    BN statistics stay finite; callers mask metrics back to the true size."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    n = leaves[0].shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return batch, n
+
+    def pad(x):
+        reps = np.concatenate([x, np.repeat(x[-1:], target - n, axis=0)], axis=0)
+        return reps
+
+    return jax.tree_util.tree_map(pad, batch), n

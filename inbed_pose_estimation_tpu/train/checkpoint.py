@@ -1,0 +1,252 @@
+"""Checkpointing: native pytree checkpoints + PyTorch .pt converter.
+
+Reference semantics being matched (SURVEY.md §5.4):
+  * reference checkpoints are torch.save dicts `{'model': state_dict,
+    'optimizer': ..., 'epoch', 'batch_idx', 'batch_size', 'dataset_perm',
+    'total_step_count'}` with `module.`-prefixed keys from nn.DataParallel
+    (reference: utils/saver.py:24-42);
+  * latest-checkpoint discovery parses `epoch_<E>_<B>` filenames
+    (utils/saver.py:62-72).
+
+Native format: a single .npz of flattened param/batch-stat paths + a JSON
+sidecar of step metadata (epoch/batch_idx/dataset_perm/...), dependency-free
+and mmap-friendly.  `load_torch_checkpoint` converts reference .pt weights
+into our flax variable tree for the HMRCore model family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint format
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, val in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    variables: Any,
+    opt_state_flat: Optional[Dict[str, np.ndarray]] = None,
+    metadata: Optional[dict] = None,
+    epoch: int = 0,
+    batch_idx: int = 0,
+) -> str:
+    """Write epoch_<E>_<B>.npz (+ .json metadata) like utils/saver.py:24-42."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    name = f"epoch_{epoch}_{batch_idx}"
+    path = os.path.join(ckpt_dir, name + ".npz")
+    flat = {"var/" + k: v for k, v in _flatten(variables).items()}
+    if opt_state_flat:
+        flat.update({"opt/" + k: v for k, v in opt_state_flat.items()})
+    np.savez(path, **flat)
+    meta = dict(metadata or {})
+    meta.update({"epoch": epoch, "batch_idx": batch_idx})
+    with open(os.path.join(ckpt_dir, name + ".json"), "w") as f:
+        json.dump(
+            {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in meta.items()}, f
+        )
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Filename-parsing latest-checkpoint discovery (utils/saver.py:62-72)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_key = None, (-1, -1)
+    for fn in os.listdir(ckpt_dir):
+        m = re.match(r"epoch_(\d+)_(\d+)\.npz$", fn)
+        if m:
+            key = (int(m.group(1)), int(m.group(2)))
+            if key > best_key:
+                best_key, best = key, os.path.join(ckpt_dir, fn)
+    return best
+
+
+def load_checkpoint(path: str) -> Tuple[Any, Dict[str, np.ndarray], dict]:
+    data = np.load(path)
+    variables_flat, opt_flat = {}, {}
+    for k in data.files:
+        if k.startswith("var/"):
+            variables_flat[k[4:]] = data[k]
+        elif k.startswith("opt/"):
+            opt_flat[k[4:]] = data[k]
+    meta_path = path[:-4] + ".json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return _unflatten(variables_flat), opt_flat, meta
+
+
+# ---------------------------------------------------------------------------
+# PyTorch .pt -> flax conversion (HMRCore family)
+# ---------------------------------------------------------------------------
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """torch conv [O,I,kh,kw] -> flax [kh,kw,I,O]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_w(w: np.ndarray) -> np.ndarray:
+    """torch linear [O,I] -> flax [I,O]."""
+    return np.transpose(w, (1, 0))
+
+
+# Stage sizes of ResNet-50, used to translate layerL.i -> layerL/blocki.
+_BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}
+
+
+def _map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
+    """Map a reference state-dict key to (flax path, leaf, collection).
+
+    Returns None for keys that have no flax counterpart (mean-param buffers,
+    BN num_batches_tracked).
+    """
+    if key.endswith("num_batches_tracked") or key.startswith(("init_pose", "init_shape", "init_cam")):
+        return None
+
+    def bn_leaf(suffix: str) -> Tuple[str, str]:
+        return {
+            "weight": ("scale", "params"),
+            "bias": ("bias", "params"),
+            "running_mean": ("mean", "batch_stats"),
+            "running_var": ("var", "batch_stats"),
+        }[suffix]
+
+    parts = key.split(".")
+
+    # Stem.
+    if parts[0] == "conv1":
+        return ("trunk", "conv1"), "kernel", "params"
+    if parts[0] == "bn1":
+        leaf, coll = bn_leaf(parts[1])
+        return ("trunk", "bn1"), leaf, coll
+
+    # Stages.
+    m = re.match(r"layer(\d)$", parts[0])
+    if m:
+        li, bi = int(m.group(1)), int(parts[1])
+        base = ("trunk", f"layer{li}", f"block{bi}")
+        sub = parts[2]
+        if sub.startswith("conv"):
+            return base + (sub,), "kernel", "params"
+        if sub.startswith("bn"):
+            leaf, coll = bn_leaf(parts[3])
+            return base + (sub,), leaf, coll
+        if sub == "downsample":
+            if parts[3] == "0":
+                return base + ("downsample_conv",), "kernel", "params"
+            leaf, coll = bn_leaf(parts[4])
+            return base + ("downsample_bn",), leaf, coll
+
+    # Head.
+    if parts[0] in ("fc1", "fc2", "decpose", "decshape", "deccam"):
+        leaf = "kernel" if parts[1] == "weight" else "bias"
+        return ("head", parts[0]), leaf, "params"
+
+    # Decoder(s): Reconstruct_depth / Reconstruct_ir / Reconstruct_pm.
+    m = re.match(r"Reconstruct_(\w+)$", parts[0])
+    if m:
+        dec = f"reconstruct_{m.group(1)}"
+        stage = parts[1]
+        if re.match(r"decDepth\d$", stage):
+            n = stage[-1]
+            base = (dec, f"dec{n}")
+            idx = parts[2]
+            if idx == "0":
+                return base + ("reduce",), "kernel", "params"
+            if idx == "1":  # ResBlock body indices 0,1,3,4
+                bidx = parts[4]
+                name = {"0": "conv0", "1": "bn0", "3": "conv1", "4": "bn1"}[bidx]
+                if name.startswith("conv"):
+                    return base + ("res", name), "kernel", "params"
+                leaf, coll = bn_leaf(parts[5])
+                return base + ("res", name), leaf, coll
+            if idx == "2":  # Upsampler: 0 conv, 2 bn
+                if parts[3] == "0":
+                    return base + ("up", "conv"), "kernel", "params"
+                leaf, coll = bn_leaf(parts[4])
+                return base + ("up", "bn"), leaf, coll
+        if stage == "decDepth":  # final stage: 0 reduce, 1/2 res, 3 up, 4 proj
+            idx = parts[2]
+            if idx == "0":
+                return (dec, "final_reduce"), "kernel", "params"
+            if idx in ("1", "2"):
+                rb = "final_res0" if idx == "1" else "final_res1"
+                bidx = parts[4]
+                name = {"0": "conv0", "1": "bn0", "3": "conv1", "4": "bn1"}[bidx]
+                if name.startswith("conv"):
+                    return (dec, rb, name), "kernel", "params"
+                leaf, coll = bn_leaf(parts[5])
+                return (dec, rb, name), leaf, coll
+            if idx == "3":
+                if parts[3] == "0":
+                    return (dec, "final_up", "conv"), "kernel", "params"
+                leaf, coll = bn_leaf(parts[4])
+                return (dec, "final_up", "bn"), leaf, coll
+            if idx == "4":
+                return (dec, "proj"), "kernel", "params"
+    return None
+
+
+def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference .pt state dict -> flax variables {'params', 'batch_stats'}.
+
+    Accepts torch tensors or numpy arrays; strips `module.` DataParallel
+    prefixes (utils/saver.py checkpoint layout).
+    """
+    variables: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    for key, val in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        mapped = _map_torch_key(key)
+        if mapped is None:
+            continue
+        path, leaf, coll = mapped
+        if leaf == "kernel":
+            arr = _conv_w(arr) if arr.ndim == 4 else _dense_w(arr)
+        node = variables[coll]
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = arr
+    return variables
+
+
+def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], dict]:
+    """Load a reference .pt checkpoint file and convert the model weights."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model", ckpt)
+    variables = convert_torch_state_dict(state)
+    meta = {k: ckpt[k] for k in ("epoch", "batch_idx", "batch_size", "total_step_count") if k in ckpt}
+    if "dataset_perm" in ckpt and ckpt["dataset_perm"] is not None:
+        meta["dataset_perm"] = np.asarray(ckpt["dataset_perm"])
+    return variables, meta
