@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: batch-32 4-modality cashmrV2 inference images/sec/chip.
+
+This is BASELINE.json's north-star metric: the full eval-path compute for
+one batch — the num_cas_iters=2 cascade (two ResNet-50 + depth-decoder
+passes with depth feedback), SMPL LBS to vertices, and 17-joint regression —
+as one jit program, timed end-to-end on the available accelerator.
+
+Baseline: PyTorch-CPU images/sec for the identical compute graph (the
+reference cannot be imported in this image — torchvision/smplx are absent —
+so tools/torch_ref.py reproduces its cashmrV2 graph; BASELINE.md's protocol
+is "run the PyTorch reference on CPU, those measured numbers become the
+baseline").  Measured once and cached in configs/baseline_torch_cpu.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 32
+RES = 224
+NUM_CAS_ITERS = 2
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "configs", "baseline_torch_cpu.json")
+
+
+def measure_torch_cpu(iters: int = 3) -> float:
+    """images/sec of the same compute graph in torch on CPU."""
+    import torch
+
+    from inbed_pose_estimation_tpu.smpl.assets import mean_params
+    from inbed_pose_estimation_tpu.tools.torch_ref import CASHMRTorch
+
+    mp = mean_params(None)
+    model = CASHMRTorch(mp["pose"], mp["shape"], mp["cam"], input_dim=6)
+    model.eval()
+    x = torch.randn(BATCH, 6, RES, RES)
+    with torch.no_grad():
+        # warmup
+        rot, shape, cam, depth = model(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            # cascade: second pass consumes the recovered depth (slot 2).
+            x2 = torch.cat([x[:, :5], depth], dim=1)
+            for _ in range(NUM_CAS_ITERS - 1):
+                rot, shape, cam, depth = model(x2)
+        dt = time.perf_counter() - t0
+    # Each timed iter runs (NUM_CAS_ITERS - 1) of the 2-pass cascade's extra
+    # passes; normalize to full-cascade equivalents.
+    full_graph_time = dt / iters * NUM_CAS_ITERS / (NUM_CAS_ITERS - 1)
+    return BATCH / full_graph_time
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return float(json.load(f)["images_per_sec"])
+    ips = measure_torch_cpu()
+    os.makedirs(os.path.dirname(BASELINE_FILE), exist_ok=True)
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"images_per_sec": ips, "batch": BATCH, "res": RES,
+                   "num_cas_iters": NUM_CAS_ITERS, "what": "torch-cpu cashmrV2 eval path"}, f)
+    return ips
+
+
+def measure_tpu(iters: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from inbed_pose_estimation_tpu.evaluation.evaluate import load_j_regressor_h36m
+    from inbed_pose_estimation_tpu.evaluation.pipeline import make_inference_fn
+    from inbed_pose_estimation_tpu.models import build_model
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+    # bfloat16 conv/matmul compute with float32 params and f32-pinned
+    # geometry — the TPU-native inference configuration.
+    model, spec = build_model("cashmrV2", dtype=jnp.bfloat16)
+    smpl_model = synthetic_smpl_model(seed=0)
+
+    rng = np.random.default_rng(0)
+    inputs = tuple(
+        jnp.asarray(rng.normal(0, 1, (BATCH, RES, RES, {"img": 3}.get(m, 1))).astype(np.float32))
+        for m in spec.modalities
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.concatenate(inputs, axis=-1))
+    infer = jax.jit(
+        make_inference_fn(
+            model, spec, smpl_model,
+            j_regressor_h36m=load_j_regressor_h36m(
+                num_vertices=smpl_model.v_template.shape[0]
+            ),
+            num_cas_iters=NUM_CAS_ITERS,
+        )
+    )
+
+    out = infer(variables, inputs)
+    jax.block_until_ready(out["vertices"])  # compile + warmup
+    out = infer(variables, inputs)
+    jax.block_until_ready(out["vertices"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, inputs)
+    jax.block_until_ready(out["vertices"])
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def main():
+    baseline = get_baseline()
+    ips = measure_tpu()
+    print(json.dumps({
+        "metric": "images/sec/chip batch-32 4-mod cashmrV2 inference (cascade+LBS)",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

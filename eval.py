@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Evaluation CLI with reference parity.
+
+Mirrors the reference eval entry (reference: eval.py:44-52, 525-565):
+    python eval.py --model cashmrV2 --checkpoint <ckpt> [--dataset ...]
+Evaluates the slp-4mod cover2/uncover/cover1 splits by default.  Accepts
+both native .npz checkpoints and reference .pt checkpoints (converted on
+load, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--model", type=str, default="hmr", help="model architecture name")
+parser.add_argument("--checkpoint", default=None, help="Path to network checkpoint (.npz or .pt)")
+parser.add_argument("--dataset", default=None,
+                    help="Evaluate a single split instead of the default three")
+parser.add_argument("--log_freq", default=50, type=int)
+parser.add_argument("--batch_size", default=32, type=int)
+parser.add_argument("--shuffle", default=False, action="store_true")
+parser.add_argument("--num_workers", default=8, type=int)
+parser.add_argument("--result_file", default=None, help="If set, save detections under this dir")
+parser.add_argument("--num_cas_iters", default=2, type=int)
+parser.add_argument("--img_res", default=224, type=int)
+parser.add_argument("--no_masks", default=False, action="store_true")
+
+
+def main():
+    args = parser.parse_args()
+
+    import jax
+
+    from inbed_pose_estimation_tpu import config
+    from inbed_pose_estimation_tpu.data import BaseDataset
+    from inbed_pose_estimation_tpu.evaluation import run_evaluation
+    from inbed_pose_estimation_tpu.models import build_model
+    from inbed_pose_estimation_tpu.smpl import load_or_synthesize
+    from inbed_pose_estimation_tpu.train.checkpoint import load_checkpoint, load_torch_checkpoint
+
+    model, spec = build_model(args.model, smpl_mean_params=config.SMPL_MEAN_PARAMS)
+    smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
+
+    if args.checkpoint:
+        if args.checkpoint.endswith(".pt"):
+            variables, _ = load_torch_checkpoint(args.checkpoint)
+        else:
+            variables, _, _ = load_checkpoint(args.checkpoint)
+    else:
+        import jax.numpy as jnp
+
+        ch = sum({"img": 3}.get(m, 1) for m in spec.modalities)
+        if spec.input_mode == "multi":
+            x = tuple(
+                jnp.zeros((1, args.img_res, args.img_res, {"img": 3}.get(m, 1)))
+                for m in spec.modalities
+            )
+            variables = model.init(jax.random.PRNGKey(0), x)
+        else:
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, args.img_res, args.img_res, ch))
+            )
+
+    splits = [args.dataset] if args.dataset else [
+        "slp-4mod-cover2", "slp-4mod-uncover", "slp-4mod-cover1"
+    ]
+
+    class _Opt:
+        img_res = args.img_res
+
+    for d in splits:
+        ds = BaseDataset(_Opt(), d, is_train=False)
+        run_evaluation(
+            model, spec, variables, d, ds, smpl_model,
+            result_file=args.result_file,
+            batch_size=args.batch_size,
+            img_res=args.img_res,
+            num_workers=args.num_workers,
+            shuffle=args.shuffle,
+            log_freq=args.log_freq,
+            num_cas_iters=args.num_cas_iters,
+            eval_masks_enabled=not args.no_masks,
+        )
+
+
+if __name__ == "__main__":
+    main()

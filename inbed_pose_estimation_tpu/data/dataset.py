@@ -1,0 +1,303 @@
+"""SLP multi-modal dataset: npz index reader + per-sample host decode.
+
+Re-design of the reference data layer (reference: datasets/base_dataset.py:
+18-451): loads the npz index (imgname/irimgname/depthname/pmname, center,
+scale, pose, shape, S, part, openpose, gender), reads the 4 covered images +
+4 uncovered counterparts + the uncover body mask via the reference's
+filename-rewriting convention (cover1/cover2 -> uncover, PM_aligned ->
+masks), applies the same augmentation distributions, and emits an
+NHWC-layout dict of numpy arrays (TPU-native layout — the single deliberate
+departure from the reference's NCHW tensors).
+
+Normalization stays host-side float math identical to torchvision Normalize
+(x/255 - mean)/std per modality (base_dataset.py:381-389).
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+from scipy import ndimage
+from scipy.ndimage import gaussian_filter
+
+from .. import config, constants
+from .transforms import crop, flip_img, flip_kp, flip_pose, rot_aa, transform
+
+
+def _normalize(img01: np.ndarray, mean, std) -> np.ndarray:
+    return (img01 - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+class BaseDataset:
+    """Map-style dataset over an npz index (reference parity API).
+
+    Emits per-sample dicts with the reference's key set
+    (base_dataset.py:373-448) in NHWC float32.
+    """
+
+    def __init__(
+        self,
+        options=None,
+        dataset: str = "slp-4mod-uncover",
+        ignore_3d: bool = False,
+        use_augmentation: bool = True,
+        is_train: bool = True,
+    ):
+        self.dataset = dataset
+        self.is_train = is_train
+        self.options = options
+        # Crop resolution: constants.IMG_RES unless options overrides
+        # (tests use small crops to keep CPU compile times sane).
+        self.img_res = int(getattr(options, "img_res", constants.IMG_RES) or constants.IMG_RES)
+        self.img_dir = config.DATASET_FOLDERS[dataset]
+        self.data = np.load(config.DATASET_FILES[int(is_train)][dataset], allow_pickle=True)
+        self.imgname = self.data["imgname"]
+
+        def _names(key):
+            if key in self.data:
+                return self.data[key], True
+            return self.data["imgname"], False
+
+        self.irimgname, self.hasIR = _names("irimgname")
+        self.depthname, self.hasDEPTH = _names("depthname")
+        self.pmname, self.hasPM = _names("pmname")
+        self.maskname = self.data["maskname"] if "maskname" in self.data else None
+        self.partname = self.data["partname"] if "partname" in self.data else None
+
+        self.scale = self.data["scale"]
+        self.center = self.data["center"]
+        self.use_augmentation = use_augmentation
+
+        if "pose" in self.data:
+            self.pose = self.data["pose"].astype(np.float64)
+            self.betas = self.data["shape"].astype(np.float64)
+            self.has_smpl = (
+                self.data["has_smpl"] if "has_smpl" in self.data else np.ones(len(self.imgname))
+            )
+        else:
+            self.pose = None
+            self.betas = None
+            self.has_smpl = np.zeros(len(self.imgname))
+        if ignore_3d:
+            self.has_smpl = np.zeros(len(self.imgname))
+
+        self.pose_3d = self.data["S"] if "S" in self.data else None
+        self.has_pose_3d = int(self.pose_3d is not None and not ignore_3d)
+
+        kp_gt = self.data["part"] if "part" in self.data else np.zeros((len(self.imgname), 24, 3))
+        kp_op = (
+            self.data["openpose"] if "openpose" in self.data else np.zeros((len(self.imgname), 25, 3))
+        )
+        self.keypoints = np.concatenate([kp_op, kp_gt], axis=1)
+
+        if "gender" in self.data:
+            self.gender = np.asarray(self.data["gender"]).astype(np.int32)
+        else:
+            self.gender = -1 * np.ones(len(self.imgname), np.int32)
+
+        self.length = self.scale.shape[0]
+
+    # -- augmentation sampling (base_dataset.py:128-155) --------------------
+    def augm_params(self, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        flip, pn, rot, sc = 0, np.ones(3), 0.0, 1.0
+        if self.is_train and self.use_augmentation:
+            noise_factor = getattr(self.options, "noise_factor", 0.4)
+            rot_factor = getattr(self.options, "rot_factor", 15.0)
+            scale_factor = getattr(self.options, "scale_factor", 0.15)
+            if rng.uniform() <= 0.5:
+                flip = 1
+            pn = rng.uniform(1 - noise_factor, 1 + noise_factor, 3)
+            rot = min(2 * rot_factor, max(-2 * rot_factor, rng.normal() * rot_factor))
+            sc = min(1 + scale_factor, max(1 - scale_factor, rng.normal() * scale_factor + 1))
+            if rng.uniform() <= 0.6:
+                rot = 0.0
+        return flip, pn, rot, sc
+
+    # -- per-modality processing (base_dataset.py:157-183), NHWC outputs ----
+    def rgb_processing(self, rgb_img, center, scale, rot, flip, pn):
+        img = crop(rgb_img, center, scale, [self.img_res, self.img_res], rot=rot)
+        img = img.astype(np.float32)
+        if flip:
+            img = np.ascontiguousarray(flip_img(img))
+        for c in range(3):
+            img[:, :, c] = np.clip(img[:, :, c] * pn[c], 0, 255)
+        return img / 255.0  # [H, W, 3]
+
+    def gray_processing(self, gray_img, center, scale, rot, flip, pn):
+        img = crop(gray_img, center, scale, [self.img_res, self.img_res], rot=rot)
+        img = img.astype(np.float32)
+        if flip:
+            img = np.ascontiguousarray(flip_img(img))
+        img = np.clip(img * pn[0], 0, 255)
+        return img[:, :, None] / 255.0  # [H, W, 1]
+
+    def j2d_processing(self, kp, center, scale, r, f):
+        kp = kp.copy()
+        for i in range(kp.shape[0]):
+            kp[i, 0:2] = transform(
+                kp[i, 0:2] + 1, center, scale, [self.img_res, self.img_res], rot=r
+            )
+        kp[:, :-1] = 2.0 * kp[:, :-1] / self.img_res - 1.0
+        if f:
+            kp = flip_kp(kp)
+        return kp.astype(np.float32)
+
+    def j3d_processing(self, S, r, f):
+        S = S.copy()
+        rot_mat = np.eye(3)
+        if r != 0:
+            rot_rad = -r * np.pi / 180
+            sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+            rot_mat[0, :2] = [cs, -sn]
+            rot_mat[1, :2] = [sn, cs]
+        S[:, :-1] = np.einsum("ij,kj->ki", rot_mat, S[:, :-1])
+        if f:
+            S = flip_kp(S)
+        return S.astype(np.float32)
+
+    def pose_processing(self, pose, r, f):
+        pose = pose.copy()
+        pose[:3] = rot_aa(pose[:3], r)
+        if f:
+            pose = flip_pose(pose)
+        return pose.astype(np.float32)
+
+    def gen_contact(self, pm_img, mask, sigma=1, edges=True):
+        """Pressure contact + sobel edge channels, NHWC
+        (base_dataset.py:227-245)."""
+        pm_contact = np.copy(pm_img)
+        pm_contact[pm_contact > 0] = 1
+        pm_contact[mask == 0] = 0
+        pm_contact = gaussian_filter(pm_contact, sigma=sigma)
+        if not edges:
+            return pm_contact
+        sx = ndimage.sobel(pm_contact, axis=0, mode="constant")
+        sy = ndimage.sobel(pm_contact, axis=1, mode="constant")
+        p_map = np.hypot(sx, sy)
+        denom = np.max(p_map)
+        if denom > 0:
+            p_map = p_map / denom
+        return np.concatenate((pm_contact, p_map), axis=-1)  # [H, W, 2]
+
+    def _read_rgb(self, path):
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img[:, :, ::-1].copy().astype(np.float32)
+
+    def _read_gray(self, path):
+        img = cv2.imread(path, 0)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img.copy().astype(np.float32)
+
+    def __getitem__(self, index, rng: Optional[np.random.Generator] = None):
+        item = {}
+        scale = self.scale[index].copy()
+        center = self.center[index].copy()
+        flip, pn, rot, sc = self.augm_params(rng)
+
+        imgname = join(self.img_dir, str(self.imgname[index]))
+        irname = join(self.img_dir, str(self.irimgname[index]))
+        depthname = join(self.img_dir, str(self.depthname[index]))
+        pmname = join(self.img_dir, str(self.pmname[index]))
+
+        img = self._read_rgb(imgname)
+        orig_shape = np.array(img.shape)[:2]
+        ir_img = self._read_gray(irname) if self.hasIR else self._read_rgb(imgname)
+        depth_img = self._read_gray(depthname) if self.hasDEPTH else self._read_rgb(imgname)
+        pm_img = self._read_gray(pmname) if self.hasPM else self._read_rgb(imgname)
+
+        if self.has_smpl[index]:
+            pose = self.pose[index].copy()
+            betas = self.betas[index].copy()
+        else:
+            pose = np.zeros(72)
+            betas = np.zeros(10)
+
+        img = self.rgb_processing(img, center, sc * scale, rot, flip, pn)
+        ir_img = self.gray_processing(ir_img, center, sc * scale, rot, flip, pn)
+        depth_img = self.gray_processing(depth_img, center, sc * scale, rot, flip, pn)
+        pm_img = self.gray_processing(pm_img, center, sc * scale, rot, flip, pn)
+
+        # Uncovered counterparts via filename rewriting
+        # (base_dataset.py:327-353).
+        def unc(p):
+            return p.replace("cover1", "uncover").replace("cover2", "uncover")
+
+        img_unc = self.rgb_processing(self._read_rgb(unc(imgname)), center, sc * scale, rot, flip, pn)
+        ir_unc = self.gray_processing(self._read_gray(unc(irname)), center, sc * scale, rot, flip, pn)
+        depth_unc = self.gray_processing(
+            self._read_gray(unc(depthname)), center, sc * scale, rot, flip, pn
+        )
+        pm_unc = self.gray_processing(self._read_gray(unc(pmname)), center, sc * scale, rot, flip, pn)
+        mask_unc = self.gray_processing(
+            self._read_gray(unc(pmname).replace("PM_aligned", "masks")),
+            center, sc * scale, rot, flip, pn,
+        )
+        pm_contact = self.gen_contact(pm_img, mask_unc, sigma=1, edges=True)
+
+        item["img"] = _normalize(img, constants.IMG_NORM_MEAN, constants.IMG_NORM_STD)
+        item["ir_img"] = _normalize(ir_img, constants.IR_NORM_MEAN, constants.IR_NORM_STD)
+        item["depth_img"] = _normalize(depth_img, constants.DEPTH_NORM_MEAN, constants.DEPTH_NORM_STD)
+        item["pm_img"] = _normalize(pm_img, constants.PM_NORM_MEAN, constants.PM_NORM_STD)
+        item["img_uncover"] = img_unc
+        item["ir_img_uncover"] = _normalize(ir_unc, constants.IR_NORM_MEAN, constants.IR_NORM_STD)
+        item["depth_img_uncover"] = _normalize(
+            depth_unc, constants.DEPTH_NORM_MEAN, constants.DEPTH_NORM_STD
+        )
+        item["pm_img_uncover"] = _normalize(pm_unc, constants.PM_NORM_MEAN, constants.PM_NORM_STD)
+        item["mask_uncover"] = mask_unc.astype(np.float32)
+        item["pm_contact"] = pm_contact.astype(np.float32)
+
+        item["pose"] = self.pose_processing(pose, rot, flip)
+        item["betas"] = betas.astype(np.float32)
+        item["imgname"] = imgname
+        if self.has_pose_3d:
+            item["pose_3d"] = self.j3d_processing(self.pose_3d[index].copy(), rot, flip)
+        else:
+            item["pose_3d"] = np.zeros((24, 4), np.float32)
+        item["keypoints"] = self.j2d_processing(self.keypoints[index].copy(), center, sc * scale, rot, flip)
+        item["has_smpl"] = np.float32(self.has_smpl[index])
+        item["has_pose_3d"] = np.float32(self.has_pose_3d)
+        item["scale"] = np.float32(sc * scale)
+        item["center"] = center.astype(np.float32)
+        item["orig_shape"] = orig_shape
+        item["is_flipped"] = np.float32(flip)
+        item["rot_angle"] = np.float32(rot)
+        item["gender"] = self.gender[index]
+        item["sample_index"] = index
+        item["dataset_name"] = self.dataset
+        item["maskname"] = str(self.maskname[index]) if self.maskname is not None else ""
+        item["partname"] = str(self.partname[index]) if self.partname is not None else ""
+        return item
+
+    def __len__(self):
+        return self.length
+
+
+class MixedDataset:
+    """Single-dataset wrapper matching the reference's current behavior
+    (reference: datasets/mixed_dataset.py:31-46 — 100% options.data_train);
+    exposes `dataset_dict` for the fits dictionary."""
+
+    def __init__(self, options, **kwargs):
+        self.dataset = BaseDataset(options, options.data_train, **kwargs)
+        self.dataset_dict = {options.data_train: 0}
+        self.datasets = [self.dataset]
+        self.length = len(self.dataset)
+
+    def __getitem__(self, index):
+        return self.dataset[index]
+
+    def __len__(self):
+        return self.length

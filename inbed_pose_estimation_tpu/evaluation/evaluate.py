@@ -1,0 +1,222 @@
+"""Evaluation driver: run_evaluation parity with the reference eval.py.
+
+Re-design of reference eval.py:54-523.  Differences are all performance /
+correctness re-design, not behavior:
+  * the per-batch model dispatch + cascade + SMPL + 17-joint regression +
+    pelvis centering + MPJPE + batched Procrustes run as ONE jit program
+    (evaluation/pipeline.py) — the reference loops numpy SVDs per sample;
+  * the body-mask rasterization replacing neural_renderer is the scatter
+    splat (ops/mask_raster.py) — mask accuracy/F1 computed after `uncrop`
+    against GT uncover masks with the same filename rewriting
+    (eval.py:428-443);
+  * PVE (per-vertex error) is actually implemented — the reference allocates
+    the accumulators but never fills them (eval.py:104-106, dead code).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config, constants
+from ..data.loader import CheckpointDataLoader
+from ..geometry import reconstruction_error
+from ..ops.mask_raster import render_body_mask
+from ..smpl.model import SMPLModel, smpl_forward
+from ..data.transforms import uncrop
+from .pipeline import make_inference_fn
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def load_j_regressor_h36m(path: Optional[str] = None, num_vertices: int = constants.NUM_VERTICES):
+    """data/J_regressor_h36m.npy [17, 6890] or a deterministic synthetic
+    stand-in with the same shape/row-normalization."""
+    path = path or config.JOINT_REGRESSOR_H36M
+    if path and os.path.exists(path):
+        return np.load(path).astype(np.float32)
+    J = np.zeros((17, num_vertices), np.float32)
+    centers = np.linspace(0.03, 0.97, 17)
+    for j, cfrac in enumerate(centers):
+        idx = int(cfrac * num_vertices)
+        lo, hi = max(0, idx - 30), min(num_vertices, idx + 30)
+        J[j, lo:hi] = 1.0 / (hi - lo)
+    return J
+
+
+def run_evaluation(
+    model,
+    spec,
+    variables,
+    dataset_name: str,
+    dataset,
+    smpl_model: SMPLModel,
+    result_file: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    epoch: int = 0,
+    batch_idx=None,
+    batch_size: int = 32,
+    img_res: int = constants.IMG_RES,
+    num_workers: int = 8,
+    shuffle: bool = False,
+    log_freq: int = 50,
+    num_cas_iters: int = 2,
+    eval_masks_enabled: bool = True,
+) -> dict:
+    """Evaluate MPJPE / PA-MPJPE / PVE (+ mask accuracy/F1) on a split.
+
+    Returns the metric dict and appends to <checkpoint_dir>/log.txt like
+    eval.py:498-513.
+    """
+    n = len(dataset)
+    infer = jax.jit(
+        make_inference_fn(
+            model, spec, smpl_model,
+            j_regressor_h36m=load_j_regressor_h36m(
+                num_vertices=smpl_model.v_template.shape[0]
+            ),
+            num_cas_iters=num_cas_iters,
+        )
+    )
+
+    mpjpe = np.zeros(n)
+    recon_err = np.zeros(n)
+    pve = np.zeros(n)
+    accuracy = 0.0
+    pixel_count = 0
+    tp = np.zeros(2)
+    fp = np.zeros(2)
+    fn = np.zeros(2)
+    f1 = np.zeros(2)
+
+    save_results = result_file is not None
+    smpl_pose = np.zeros((n, 24, 3, 3)) if save_results else None
+    smpl_betas = np.zeros((n, 10)) if save_results else None
+    smpl_camera = np.zeros((n, 3)) if save_results else None
+    pred_joints_out = np.zeros((n, 17, 3)) if save_results else None
+
+    eval_pose = dataset_name.startswith("slp") or any(
+        k in dataset_name for k in ("h36m", "3dpw", "mpi-inf")
+    )
+    eval_masks = eval_masks_enabled and dataset_name.startswith("slp")
+    jm_gt = np.asarray(constants.J24_TO_J17)
+
+    loader = CheckpointDataLoader(
+        dataset, batch_size=batch_size, shuffle=shuffle, num_workers=num_workers
+    )
+    gt_vertices_fn = jax.jit(lambda betas, pose: smpl_forward(smpl_model, betas, pose_aa=pose).vertices)
+    mask_fn = jax.jit(lambda verts, cam: render_body_mask(verts, cam, img_res=img_res))
+    pa_fn = jax.jit(lambda a, b: reconstruction_error(a, b, reduction=None))
+
+    for step, batch in loader:
+        bs = batch["img"].shape[0]
+        lo = step * batch_size
+        hi = lo + bs
+        inputs = tuple(jnp.asarray(batch[k]) for k in spec.modalities)
+        preds = infer(variables, inputs)
+
+        if eval_pose:
+            gt_kp3d = batch["pose_3d"][:, jm_gt, :3]
+            pred17 = preds["keypoints_3d_17"]
+            err = np.asarray(
+                jnp.sqrt(jnp.sum((pred17 - gt_kp3d) ** 2, axis=-1)).mean(axis=-1)
+            )
+            mpjpe[lo:hi] = err
+            recon_err[lo:hi] = np.asarray(pa_fn(pred17, jnp.asarray(gt_kp3d)))
+
+            # PVE vs GT SMPL mesh when GT pose/shape exist.
+            if np.any(batch["has_smpl"] > 0):
+                gt_verts = gt_vertices_fn(jnp.asarray(batch["betas"]), jnp.asarray(batch["pose"]))
+                pv = np.asarray(
+                    jnp.sqrt(jnp.sum((preds["vertices"] - gt_verts) ** 2, axis=-1)).mean(axis=-1)
+                )
+                pve[lo:hi] = pv * np.asarray(batch["has_smpl"] > 0, np.float32)
+
+        if eval_masks:
+            masks = np.asarray(mask_fn(preds["vertices"], preds["cam"]))[..., 0]
+            for i in range(bs):
+                pred_mask = (
+                    uncrop(
+                        (masks[i] > 0).astype(np.uint8),
+                        batch["center"][i],
+                        batch["scale"][i],
+                        batch["orig_shape"][i],
+                    )
+                    > 0
+                )
+                maskname = (
+                    batch["imgname"][i]
+                    .replace("RGB", "masks")
+                    .replace("cover1", "uncover")
+                    .replace("cover2", "uncover")
+                    .replace("image_", "")
+                )
+                gt_mask_img = cv2.imread(maskname, 0) if cv2 is not None else None
+                if gt_mask_img is None:
+                    continue
+                gt_mask = gt_mask_img > 0
+                accuracy += (gt_mask == pred_mask).sum()
+                pixel_count += int(np.prod(gt_mask.shape))
+                for c in range(2):
+                    cgt = gt_mask == c
+                    cpred = pred_mask == c
+                    tp[c] += (cgt & cpred).sum()
+                    fp[c] += (~cgt & cpred).sum()
+                    fn[c] += (cgt & ~cpred).sum()
+                f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
+
+        if save_results:
+            smpl_pose[lo:hi] = np.asarray(preds["rotmat"])
+            smpl_betas[lo:hi] = np.asarray(preds["betas"])
+            smpl_camera[lo:hi] = np.asarray(preds["cam"])
+            pred_joints_out[lo:hi] = np.asarray(preds["keypoints_3d_17"])
+
+        if log_freq and step % log_freq == log_freq - 1 and eval_pose:
+            print(f"MPJPE: {1000 * mpjpe[:hi].mean()}")
+            print(f"Reconstruction Error: {1000 * recon_err[:hi].mean()}")
+
+    results = {
+        "mpjpe": 1000 * mpjpe.mean() if eval_pose else None,
+        "pa_mpjpe": 1000 * recon_err.mean() if eval_pose else None,
+        "pve": 1000 * pve.mean() if eval_pose else None,
+        "mask_accuracy": (accuracy / pixel_count) if pixel_count else None,
+        "mask_f1": float(f1.mean()) if pixel_count else None,
+    }
+
+    if save_results:
+        os.makedirs(result_file, exist_ok=True)
+        out_dir = os.path.join(result_file, "smpl_fits")
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(
+            os.path.join(out_dir, f"{dataset_name}_fits.npz"),
+            pred_joints=pred_joints_out, pose=smpl_pose, betas=smpl_betas, camera=smpl_camera,
+        )
+
+    if eval_pose:
+        print(f"{dataset_name}: MPJPE: {results['mpjpe']}")
+        print(f"\tReconstruction Error: {results['pa_mpjpe']}")
+        if checkpoint_dir:
+            log_path = os.path.join(checkpoint_dir, "log.txt")
+            with open(log_path, "a") as f:
+                f.write(
+                    datetime.datetime.now().strftime("%Y-%m-%d-%H:%M:%S")
+                    + f"\t[epoch: {epoch}], batch_idx: {batch_idx}\n"
+                )
+                f.write(f"{dataset_name}\tMPJPE: {results['mpjpe']}")
+                f.write(f"\tReconstruction Error: {results['pa_mpjpe']}")
+                if results["mask_accuracy"] is not None:
+                    f.write(f"\tFB Accuracy: {results['mask_accuracy']}")
+                    f.write(f"\tFB F1: {results['mask_f1']}")
+                f.write("\n")
+    if results["mask_accuracy"] is not None:
+        print("Accuracy: ", results["mask_accuracy"])
+        print("F1: ", results["mask_f1"])
+    return results

@@ -1,0 +1,188 @@
+"""Standard SPIN-style npz extractors for the auxiliary datasets.
+
+Host-side offline tools mirroring the reference preprocessors
+(reference: datasets/preprocess/{lsp_dataset,lsp_dataset_original,hr_lspet,
+mpii,coco,pw3d,mpi_inf_3dhp,h36m}.py — SURVEY.md §2.1 "Preprocess: others").
+Each emits the common schema: imgname, center, scale, part[24,3]
+(+ S[24,4] / pose/shape for 3D datasets).  Heavy external readers (pycdf,
+h5py) import lazily so the framework never requires them.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+
+import numpy as np
+
+
+def _save(out_path, out_name, **arrays):
+    os.makedirs(out_path, exist_ok=True)
+    np.savez(join(out_path, out_name), **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+def lsp_dataset_extract(dataset_path, out_path, out_name="lsp_dataset_test.npz"):
+    """LSP test set: 2D-only, joints.mat [3, 14, 2000], images 1001-2000."""
+    import scipy.io as sio
+
+    joints = sio.loadmat(join(dataset_path, "joints.mat"))["joints"]
+    imgnames, centers, scales, parts = [], [], [], []
+    for i in range(1000, 2000):
+        imgnames.append(join("images", f"im{i + 1:04d}.jpg"))
+        part14 = joints[:2, :, i].T
+        bbox = [part14[:, 0].min(), part14[:, 1].min(), part14[:, 0].max(), part14[:, 1].max()]
+        centers.append([(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2])
+        scales.append(0.9 * max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 200)
+        part = np.zeros((24, 3))
+        part[:14] = np.hstack([part14, (joints[2, :, i] == 0).reshape(14, 1)])
+        parts.append(part)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts)
+
+
+def lsp_dataset_original_extract(dataset_path, out_path, out_name="lsp_dataset_original_train.npz"):
+    import scipy.io as sio
+
+    joints = sio.loadmat(join(dataset_path, "joints.mat"))["joints"]
+    imgnames, centers, scales, parts = [], [], [], []
+    for i in range(1000):
+        imgnames.append(join("images", f"im{i + 1:04d}.jpg"))
+        part14 = joints[:2, :, i].T
+        vis = joints[2, :, i]
+        bbox = [part14[:, 0].min(), part14[:, 1].min(), part14[:, 0].max(), part14[:, 1].max()]
+        centers.append([(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2])
+        scales.append(1.4 * max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 200)
+        part = np.zeros((24, 3))
+        part[:14] = np.hstack([part14, vis.reshape(14, 1)])
+        parts.append(part)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts)
+
+
+def hr_lspet_extract(dataset_path, out_path, out_name="hr-lspet_train.npz"):
+    import scipy.io as sio
+
+    joints = sio.loadmat(join(dataset_path, "joints.mat"))["joints"]  # [14, 3, N]
+    imgnames, centers, scales, parts = [], [], [], []
+    for i in range(joints.shape[2]):
+        vis = joints[:, 2, i]
+        part14 = joints[:, :2, i]
+        if vis.sum() < 2:
+            continue
+        v = part14[vis > 0]
+        bbox = [v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()]
+        imgnames.append(f"im{i + 1:05d}.png")
+        centers.append([(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2])
+        scales.append(1.1 * max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 200)
+        part = np.zeros((24, 3))
+        part[:14] = np.hstack([part14, vis.reshape(14, 1)])
+        parts.append(part)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts)
+
+
+# MPII 16-joint order -> 24-joint GT superset rows.
+MPII_TO_J24 = [0, 1, 2, 3, 4, 5, 14, 15, 12, 13, 6, 7, 8, 9, 10, 11]
+
+
+def mpii_extract(annot_file, out_path, out_name="mpii_train.npz"):
+    """MPII from the standardized annotation h5 (train.h5)."""
+    import h5py
+
+    imgnames, centers, scales, parts = [], [], [], []
+    with h5py.File(annot_file, "r") as f:
+        centers_h = f["center"][:]
+        scales_h = f["scale"][:]
+        partsh = f["part"][:]
+        vis = f["visible"][:]
+        names = [n.decode() if isinstance(n, bytes) else str(n) for n in f["imgname"][:]]
+    for i in range(len(names)):
+        imgnames.append(join("images", names[i]))
+        centers.append(centers_h[i])
+        scales.append(scales_h[i])
+        part = np.zeros((24, 3))
+        part[MPII_TO_J24] = np.hstack([partsh[i], vis[i].reshape(-1, 1)])
+        parts.append(part)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts)
+
+
+# COCO 17-keypoint order -> 24-joint GT superset rows (12 shared joints).
+COCO_TO_J24 = [19, 20, 21, 22, 23, 9, 8, 10, 7, 11, 6, 3, 2, 4, 1, 5, 0]
+
+
+def coco_extract(annot_json, out_path, out_name="coco_2014_train.npz"):
+    import json
+
+    with open(annot_json) as f:
+        coco = json.load(f)
+    img_by_id = {im["id"]: im for im in coco["images"]}
+    imgnames, centers, scales, parts = [], [], [], []
+    for ann in coco["annotations"]:
+        kp = np.asarray(ann["keypoints"], np.float32).reshape(17, 3)
+        if (kp[:, 2] > 0).sum() < 12:
+            continue
+        bbox = ann["bbox"]
+        imgnames.append(join("train2014", img_by_id[ann["image_id"]]["file_name"]))
+        centers.append([bbox[0] + bbox[2] / 2, bbox[1] + bbox[3] / 2])
+        scales.append(1.2 * max(bbox[2], bbox[3]) / 200)
+        part = np.zeros((24, 3))
+        for src, dst in enumerate(COCO_TO_J24):
+            if dst < 24:
+                part[dst] = [kp[src, 0], kp[src, 1], float(kp[src, 2] > 0)]
+        parts.append(part)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts)
+
+
+def pw3d_extract(dataset_path, out_path, out_name="3dpw_test.npz"):
+    """3DPW test sequences: SMPL GT from the sequence pickles."""
+    import pickle
+
+    imgnames, centers, scales, poses, shapes, genders = [], [], [], [], [], []
+    seq_dir = join(dataset_path, "sequenceFiles", "test")
+    for seq_file in sorted(os.listdir(seq_dir)):
+        with open(join(seq_dir, seq_file), "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        seq = data["sequence"]
+        for p_id in range(len(data["poses"])):
+            valid = np.asarray(data["campose_valid"][p_id]).astype(bool)
+            pose_seq = data["poses"][p_id]
+            beta = data["betas"][p_id][:10]
+            j2d_seq = data["poses2d"][p_id]
+            gender = 0 if str(data["genders"][p_id]) == "m" else 1
+            for t in range(pose_seq.shape[0]):
+                if not valid[t]:
+                    continue
+                j2d = j2d_seq[t].T  # [18, 3]
+                vis = j2d[:, 2] > 0.3
+                if vis.sum() < 6:
+                    continue
+                v = j2d[vis]
+                bbox = [v[:, 0].min(), v[:, 1].min(), v[:, 0].max(), v[:, 1].max()]
+                imgnames.append(join("imageFiles", seq, f"image_{t:05d}.jpg"))
+                centers.append([(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2])
+                scales.append(1.2 * max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 200)
+                poses.append(pose_seq[t])
+                shapes.append(beta)
+                genders.append(gender)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales,
+          pose=poses, shape=shapes, gender=genders, has_smpl=np.ones(len(imgnames)))
+
+
+def mpi_inf_3dhp_extract(dataset_path, out_path, out_name="mpi_inf_3dhp_valid.npz"):
+    """MPI-INF-3DHP test set from the mat annotations (17-joint 3D GT)."""
+    import scipy.io as sio
+
+    imgnames, centers, scales, parts, Ss = [], [], [], [], []
+    for ts in range(1, 7):
+        annot = sio.loadmat(join(dataset_path, f"TS{ts}", "annot_data.mat"))
+        valid = annot["valid_frame"].squeeze().astype(bool)
+        j2d = annot["annot2"]
+        j3d = annot["univ_annot3"]
+        for t in np.flatnonzero(valid):
+            kp = j2d[t].reshape(-1, 2) if j2d[t].ndim > 1 else j2d[t]
+            bbox = [kp[:, 0].min(), kp[:, 1].min(), kp[:, 0].max(), kp[:, 1].max()]
+            imgnames.append(join(f"TS{ts}", "imageSequence", f"img_{t + 1:06d}.jpg"))
+            centers.append([(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2])
+            scales.append(1.2 * max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 200)
+            part = np.zeros((24, 3))
+            parts.append(part)
+            S = np.zeros((24, 4))
+            Ss.append(S)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts, S=Ss)

@@ -1,0 +1,371 @@
+"""Training runtime: the pjit-compiled train step + the epoch driver.
+
+TPU-native re-design of the reference training loop
+(reference: train/trainer.py:204-1031 and utils/base_trainer.py:55-131).
+What the reference does with ~10 separate CUDA phases and two CPU
+round-trips per step (estimate_translation numpy solve, FitsDict host dict),
+this builds as ONE compiled XLA program per step:
+
+    gt SMPL LBS -> fits gather(+aug) -> opt SMPL LBS -> batched cam-t solve
+    -> cascade of model forwards -> per-stage SMPL + projection ->
+    [optional SMPLify lax.scan fitting] -> fits scatter -> masked losses ->
+    grads -> Adam -> new state
+
+Data parallelism: the step is jit-ed with the batch sharded over a 1-D
+device mesh and the state replicated (SURVEY.md §2.3); gradient reduction
+is XLA's inserted psum.  BatchNorm stays per-shard like DataParallel.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import constants
+from ..geometry import estimate_translation, perspective_projection, rotmat_to_aa, weak_perspective_to_cam_t
+from ..models import cascade_apply
+from ..parallel import batch_sharding, make_mesh, replicated, shard_batch
+from ..smpl.model import SMPLModel, smpl_forward
+from ..fitting import make_fitting_loss, make_smplify
+from . import losses as L
+from .fits_dict import FitsStore, fits_get, fits_set
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    fits: jnp.ndarray      # [N, 82]
+    rng: jnp.ndarray
+    step: jnp.ndarray
+
+
+# Batch keys consumed by the compiled step (numeric only — strings like
+# imgname/dataset_name stay host-side).
+STEP_KEYS = (
+    "img", "ir_img", "depth_img", "pm_img", "depth_img_uncover",
+    "keypoints", "pose", "betas", "pose_3d", "has_smpl", "has_pose_3d",
+    "is_flipped", "rot_angle", "sample_index",
+)
+
+
+def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
+    """Build the jitted train step for the concat/cascade model family
+    (hmr, hmr4mod, irhmr/depthhmr/pmhmr, mulhmr, rechmr, cashmr(V2),
+    rec3hmr)."""
+
+    img_res = float(options.img_res)
+    focal = constants.FOCAL_LENGTH
+    tx = optax.adam(options.lr)
+    run_smplify = bool(options.run_smplify)
+    num_cas = int(options.num_cas_iters) if spec.cascade else 1
+    fitting_loss_fn = make_fitting_loss(smpl_model, prior, focal)
+    smplify_fn = make_smplify(
+        smpl_model, prior, step_size=1e-2,
+        num_iters=int(options.num_smplify_iters), focal_length=focal,
+    )
+
+    def get_vertices(rotmat, betas, camera):
+        """SMPL + weak-perspective projection, normalized to [-1, 1]
+        (trainer.py:180-201)."""
+        out = smpl_forward(smpl_model, betas, rot_mats=rotmat)
+        cam_t = weak_perspective_to_cam_t(camera, focal, img_res)
+        B = rotmat.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+        cc = jnp.zeros((B, 2), jnp.float32)
+        kp2d = perspective_projection(out.joints, eye, cam_t, focal, cc) / (img_res / 2.0)
+        return out.vertices, out.joints, kp2d, cam_t
+
+    def loss_fn(params, batch_stats, fits, batch, rng):
+        B = batch["img"].shape[0]
+        gt_kp2d = batch["keypoints"]
+        gt_pose = batch["pose"]
+        gt_betas = batch["betas"]
+        gt_joints3d = batch["pose_3d"]
+        has_smpl = batch["has_smpl"]
+        has_pose_3d = batch["has_pose_3d"]
+        indices = batch["sample_index"].astype(jnp.int32)
+
+        # GT and current-best-fit SMPL meshes.
+        gt_out = smpl_forward(smpl_model, gt_betas, pose_aa=gt_pose)
+        opt_pose, opt_betas = fits_get(fits, indices, batch["rot_angle"], batch["is_flipped"])
+        opt_out = smpl_forward(smpl_model, opt_betas, pose_aa=opt_pose)
+        opt_vertices, opt_joints = opt_out.vertices, opt_out.joints
+
+        # Camera translation least squares (on-device; trainer.py:241-243).
+        gt_kp2d_orig = gt_kp2d.at[:, :, :2].set(0.5 * img_res * (gt_kp2d[:, :, :2] + 1))
+        gt_cam_t = estimate_translation(gt_out.joints, gt_kp2d_orig, focal, img_res)
+        opt_cam_t = estimate_translation(opt_joints, gt_kp2d_orig, focal, img_res)
+
+        camera_center = jnp.full((B, 2), 0.5 * img_res, jnp.float32)
+        opt_joint_loss = fitting_loss_fn(
+            opt_pose, opt_betas, opt_cam_t, camera_center, gt_kp2d_orig
+        ).mean(axis=-1)
+
+        # Cascade of model forwards (train mode: dropout + BN updates).
+        inputs = tuple(batch[k] for k in spec.modalities)
+        new_bs = {"batch_stats": batch_stats}
+        stage_rngs = jax.random.split(rng, num_cas)
+        stage_outs = []
+
+        current = list(inputs)
+        for stage in range(num_cas):
+            out, mut = model.apply(
+                {"params": params, **new_bs},
+                jnp.concatenate(current, axis=-1),
+                train=True,
+                rngs={"dropout": stage_rngs[stage]},
+                mutable=["batch_stats"],
+            )
+            new_bs = mut
+            stage_outs.append(out)
+            if spec.cascade and "depth" in out.recon:
+                current[spec.cascade_feed_index] = out.recon["depth"]
+
+        final = stage_outs[-1]
+        pred_vertices, pred_joints, pred_kp2d, pred_cam_t = get_vertices(
+            final.rotmat, final.betas, final.cam
+        )
+
+        # --- SMPLify in the loop (trainer.py:699-748) ---
+        if run_smplify:
+            pred_aa = rotmat_to_aa(jax.lax.stop_gradient(final.rotmat)).reshape(B, 72)
+            fit = smplify_fn(
+                pred_aa,
+                jax.lax.stop_gradient(final.betas),
+                jax.lax.stop_gradient(pred_cam_t),
+                camera_center,
+                gt_kp2d_orig,
+            )
+            new_opt_joint_loss = fit.reprojection_loss.mean(axis=-1)
+            update = (new_opt_joint_loss < opt_joint_loss).astype(jnp.float32)
+            upd = update[:, None]
+            opt_joint_loss = jnp.minimum(new_opt_joint_loss, opt_joint_loss)
+            opt_vertices = jnp.where(upd[..., None], fit.vertices, opt_vertices)
+            opt_joints = jnp.where(upd[..., None], fit.joints, opt_joints)
+            opt_pose = jnp.where(upd, fit.pose, opt_pose)
+            opt_betas = jnp.where(upd, fit.betas, opt_betas)
+            opt_cam_t = jnp.where(upd, fit.camera_translation, opt_cam_t)
+            fits = fits_set(
+                fits, indices, batch["rot_angle"], batch["is_flipped"], update,
+                opt_pose, opt_betas,
+            )
+        # Extreme-beta reset + GT substitution (trainer.py:736-743).
+        extreme = (jnp.abs(opt_betas) > 3).any(axis=-1, keepdims=True)
+        opt_betas = jnp.where(extreme, 0.0, opt_betas)
+        hs = has_smpl[:, None]
+        opt_vertices = jnp.where(hs[..., None] > 0, gt_out.vertices, opt_vertices)
+        opt_joints = jnp.where(hs[..., None] > 0, gt_out.joints, opt_joints)
+        opt_cam_t = jnp.where(hs > 0, gt_cam_t, opt_cam_t)
+        opt_pose = jnp.where(hs > 0, gt_pose, opt_pose)
+        opt_betas = jnp.where(hs > 0, gt_betas, opt_betas)
+
+        valid_fit = jnp.logical_or(
+            opt_joint_loss < options.smplify_threshold, has_smpl > 0
+        ).astype(jnp.float32)
+
+        # Optimization targets never carry gradients.
+        opt_vertices = jax.lax.stop_gradient(opt_vertices)
+        opt_pose = jax.lax.stop_gradient(opt_pose)
+        opt_betas = jax.lax.stop_gradient(opt_betas)
+
+        # --- Final-stage losses (trainer.py:760-772, 1000-1008) ---
+        loss_regr_pose, loss_regr_betas = L.smpl_losses(
+            final.rotmat, final.betas, opt_pose, opt_betas, valid_fit
+        )
+        loss_kp = L.keypoint_loss(
+            pred_kp2d, gt_kp2d, options.openpose_train_weight, options.gt_train_weight
+        )
+        loss_kp3d = L.keypoint_3d_loss(pred_joints, gt_joints3d, has_pose_3d)
+        loss_shape = L.shape_loss(pred_vertices, opt_vertices, valid_fit)
+
+        total = (
+            options.shape_loss_weight * loss_shape
+            + options.keypoint_loss_weight * loss_kp
+            + options.keypoint_loss_weight * loss_kp3d
+            + loss_regr_pose
+            + options.beta_loss_weight * loss_regr_betas
+            + L.camera_scale_regularizer(final.cam)
+        )
+
+        # --- Per-stage extras (cashmrV2 path, trainer.py:918-941) ---
+        loss_extra = 0.0
+        if "depth" in final.recon:
+            loss_extra = loss_extra + L.recon_l1_loss(
+                final.recon["depth"], batch["depth_img_uncover"]
+            )
+        for out in stage_outs[:-1]:
+            sv, sj, skp2d, _ = get_vertices(out.rotmat, out.betas, out.cam)
+            lp, lb = L.smpl_losses(out.rotmat, out.betas, opt_pose, opt_betas, valid_fit)
+            loss_extra = loss_extra + (
+                ("depth" in out.recon)
+                * L.recon_l1_loss(out.recon.get("depth", jnp.zeros_like(batch["depth_img_uncover"])), batch["depth_img_uncover"])
+                + options.shape_loss_weight * L.shape_loss(sv, opt_vertices, valid_fit)
+                + options.keypoint_loss_weight * L.keypoint_loss(
+                    skp2d, gt_kp2d, options.openpose_train_weight, options.gt_train_weight
+                )
+                + options.keypoint_loss_weight * L.keypoint_3d_loss(sj, gt_joints3d, has_pose_3d)
+                + lp
+                + options.beta_loss_weight * lb
+                + L.camera_scale_regularizer(final.cam)
+            )
+
+        total = (total + loss_extra) * 60.0
+
+        metrics = {
+            "loss": total,
+            "loss_keypoints": loss_kp,
+            "loss_keypoints_3d": loss_kp3d,
+            "loss_regr_pose": loss_regr_pose,
+            "loss_regr_betas": loss_regr_betas,
+            "loss_shape": loss_shape,
+        }
+        aux = (new_bs["batch_stats"], fits, metrics)
+        return total, aux
+
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (batch_stats, fits, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, state.fits, batch, step_rng
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            fits=fits,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step, tx
+
+
+class Trainer:
+    """Epoch/step driver: resumable loader, graceful time-boxed exit,
+    periodic checkpoint/summaries (utils/base_trainer.py:55-131)."""
+
+    def __init__(self, options, model, spec, smpl_model, prior, train_ds, summary_writer=None):
+        self.options = options
+        self.model = model
+        self.spec = spec
+        self.train_ds = train_ds
+        self.summary_writer = summary_writer
+
+        self.mesh = make_mesh()
+        self.n_devices = len(self.mesh.devices.ravel())
+
+        step_fn, self.tx = make_train_step(model, spec, smpl_model, prior, options)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        # Init or resume.
+        rng = jax.random.PRNGKey(options.seed)
+        sample_shape = (2, options.img_res, options.img_res,
+                        sum({"img": 3}.get(m, 1) for m in spec.modalities))
+        variables = model.init(rng, jnp.zeros(sample_shape, jnp.float32))
+        fits_store = FitsStore(
+            options.data_train, len(train_ds), options.checkpoint_dir,
+            static_fits_dir=None,
+        )
+        self.fits_store = fits_store
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+
+        self.checkpoint_batch_idx = 0
+        self.epoch0 = 0
+        self.step_count = 0
+        self.dataset_perm = None
+        if options.resume:
+            ck = latest_checkpoint(options.checkpoint_dir)
+            if ck:
+                variables_ck, opt_flat, meta = load_checkpoint(ck)
+                params = variables_ck.get("params", params)
+                batch_stats = variables_ck.get("batch_stats", batch_stats)
+                self.epoch0 = int(meta.get("epoch", 0))
+                self.checkpoint_batch_idx = int(meta.get("batch_idx", 0))
+                self.step_count = int(meta.get("total_step_count", 0))
+                if "dataset_perm" in meta and meta["dataset_perm"] is not None:
+                    self.dataset_perm = np.asarray(meta["dataset_perm"])
+
+        self.state = TrainState(
+            params=jax.device_put(params, replicated(self.mesh)),
+            batch_stats=jax.device_put(batch_stats, replicated(self.mesh)),
+            opt_state=jax.device_put(opt_state, replicated(self.mesh)),
+            fits=jax.device_put(fits_store.array, replicated(self.mesh)),
+            rng=jax.random.PRNGKey(options.seed + 1),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _save(self, epoch, batch_idx, perm):
+        variables = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+        }
+        self.fits_store.array = self.state.fits
+        self.fits_store.save()
+        save_checkpoint(
+            self.options.checkpoint_dir, variables,
+            metadata={
+                "dataset_perm": np.asarray(perm),
+                "total_step_count": self.step_count,
+                "batch_size": self.options.batch_size,
+            },
+            epoch=epoch, batch_idx=batch_idx,
+        )
+
+    def train(self, eval_fn=None):
+        from ..data.loader import CheckpointDataLoader
+
+        opts = self.options
+        start = time.time()
+        bsharding = batch_sharding(self.mesh)
+
+        for epoch in range(self.epoch0, opts.num_epochs):
+            ckpt = None
+            if epoch == self.epoch0 and self.dataset_perm is not None:
+                ckpt = {"dataset_perm": self.dataset_perm,
+                        "batch_idx": self.checkpoint_batch_idx}
+            loader = CheckpointDataLoader(
+                self.train_ds, batch_size=opts.batch_size,
+                shuffle=opts.shuffle_train, num_workers=opts.num_workers,
+                checkpoint=ckpt, seed=opts.seed + epoch,
+            )
+            for batch_idx, batch in loader:
+                num_batch = {k: jnp.asarray(batch[k]) for k in STEP_KEYS if k in batch}
+                num_batch = jax.device_put(num_batch, bsharding)
+                self.state, metrics = self.train_step(self.state, num_batch)
+                self.step_count += 1
+
+                if self.step_count % opts.summary_steps == 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    if self.summary_writer is not None:
+                        for k, v in m.items():
+                            self.summary_writer.add_scalar(k, v, self.step_count)
+                    print(f"epoch {epoch} step {self.step_count}: " +
+                          " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+                if self.step_count % opts.checkpoint_steps == 0:
+                    self._save(epoch, batch_idx + 1, loader.dataset_perm)
+
+                if opts.test_steps and self.step_count % opts.test_steps == 0 and eval_fn:
+                    eval_fn(self)
+
+                if time.time() - start > opts.time_to_run:
+                    self._save(epoch, batch_idx + 1, loader.dataset_perm)
+                    print("Timeout reached: checkpoint saved, exiting cleanly")
+                    return
+            # End of epoch: checkpoint (+ optional eval).
+            self._save(epoch + 1, 0, loader.dataset_perm)
+            if eval_fn:
+                eval_fn(self)

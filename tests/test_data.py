@@ -1,0 +1,122 @@
+"""Data layer tests: synthetic SLP tree, dataset schema, resumable loader,
+crop/transform invariants (SURVEY.md §4(d))."""
+
+import os
+
+import numpy as np
+import pytest
+
+from inbed_pose_estimation_tpu.data.synthetic import write_synthetic_environment
+from inbed_pose_estimation_tpu.data.transforms import (
+    crop,
+    flip_kp,
+    flip_pose,
+    rot_aa,
+    transform,
+    uncrop,
+)
+from inbed_pose_estimation_tpu import constants
+
+
+@pytest.fixture(scope="module")
+def synth_env(tmp_path_factory):
+    base = tmp_path_factory.mktemp("synth")
+    env = write_synthetic_environment(str(base), num_subjects=1, samples_per_subject=3)
+    os.environ["INBED_DATA_ROOT"] = env["data_root"]
+    os.environ["INBED_NPZ_PATH"] = env["npz_path"]
+    # config reads env at import; reload to pick up the synthetic paths.
+    import importlib
+    from inbed_pose_estimation_tpu import config
+
+    importlib.reload(config)
+    import inbed_pose_estimation_tpu.data.dataset as ds_mod
+
+    importlib.reload(ds_mod)
+    return env, ds_mod
+
+
+def test_dataset_item_schema(synth_env):
+    _, ds_mod = synth_env
+    ds = ds_mod.BaseDataset(None, "slp-4mod-uncover", is_train=False)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["img"].shape == (224, 224, 3)
+    for k in ("ir_img", "depth_img", "pm_img", "depth_img_uncover", "mask_uncover"):
+        assert item[k].shape == (224, 224, 1), k
+    assert item["pm_contact"].shape == (224, 224, 2)
+    assert item["keypoints"].shape == (49, 3)
+    assert item["pose"].shape == (72,)
+    assert item["pose_3d"].shape == (24, 4)
+    assert np.isfinite(item["img"]).all()
+    # Keypoints normalized to [-1, 1] ballpark.
+    assert np.abs(item["keypoints"][:, :2]).max() < 3.0
+
+
+def test_train_augmentation_reproducible(synth_env):
+    _, ds_mod = synth_env
+
+    class Opt:
+        noise_factor, rot_factor, scale_factor = 0.4, 15.0, 0.15
+        data_train = "slp-4mod-train"
+
+    ds = ds_mod.BaseDataset(Opt(), "slp-4mod-train", is_train=True)
+    a = ds.__getitem__(0, rng=np.random.default_rng(7))
+    b = ds.__getitem__(0, rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(a["img"], b["img"])
+    np.testing.assert_array_equal(a["pose"], b["pose"])
+
+
+def test_loader_resume_mid_epoch(synth_env):
+    _, ds_mod = synth_env
+    from inbed_pose_estimation_tpu.data.loader import CheckpointDataLoader
+
+    ds = ds_mod.BaseDataset(None, "slp-4mod-train", is_train=False, use_augmentation=False)
+    loader = CheckpointDataLoader(ds, batch_size=2, shuffle=True, seed=3, num_workers=1)
+    batches = [(b, batch["sample_index"]) for b, batch in loader]
+    assert len(batches) == len(ds) // 2
+
+    # Resume from batch 1 with the stored permutation.
+    ckpt = {"dataset_perm": loader.dataset_perm, "batch_idx": 1}
+    loader2 = CheckpointDataLoader(ds, batch_size=2, shuffle=True, checkpoint=ckpt, num_workers=1)
+    resumed = [(b, batch["sample_index"]) for b, batch in loader2]
+    assert [b for b, _ in resumed] == [b for b, _ in batches][1:]
+    for (_, idx1), (_, idx2) in zip(resumed, batches[1:]):
+        np.testing.assert_array_equal(idx1, idx2)
+
+
+def test_crop_uncrop_roundtrip_center():
+    """Cropping then uncropping restores the central content approximately."""
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (100, 80)) > 127).astype(np.uint8) * 255
+    center, scale = np.array([40, 50]), 0.5  # h = 100
+    cropped = crop(img, center, scale, [224, 224])
+    restored = uncrop((cropped > 127).astype(np.uint8), center, scale, (100, 80))
+    # Compare on the interior crop region.
+    inter = (slice(10, 90), slice(10, 70))
+    agree = ((restored[inter] > 0) == (img[inter] > 127)).mean()
+    assert agree > 0.95
+
+
+def test_transform_invert_roundtrip():
+    center, scale, res = np.array([50.0, 60.0]), 0.9, [224, 224]
+    pt = np.array([100, 120])
+    fwd = transform(pt, center, scale, res)
+    back = transform(fwd, center, scale, res, invert=1)
+    assert np.abs(back - pt).max() <= 2  # int rounding through 1-based coords
+
+
+def test_rot_aa_zero_is_identity():
+    aa = np.array([0.3, -0.2, 0.4], np.float32)
+    np.testing.assert_allclose(rot_aa(aa, 0.0), aa, atol=1e-6)
+
+
+def test_flip_kp_involution():
+    rng = np.random.default_rng(1)
+    kp = rng.normal(size=(49, 3)).astype(np.float32)
+    np.testing.assert_allclose(flip_kp(flip_kp(kp.copy())), kp, atol=1e-6)
+
+
+def test_flip_pose_involution():
+    rng = np.random.default_rng(2)
+    pose = rng.normal(size=(72,)).astype(np.float32)
+    np.testing.assert_allclose(flip_pose(flip_pose(pose.copy())), pose, atol=1e-6)
