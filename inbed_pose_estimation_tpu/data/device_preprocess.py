@@ -1,0 +1,78 @@
+"""Fused on-device preprocessing for the training hot path.
+
+BASELINE.json's north star calls for "the 4-modality crop/normalize/stack
+preprocessing ... as fused JAX transforms".  Image *decode* stays host-side
+(SURVEY.md §2.4); everything after decode — crop-resize, flip, channel
+noise, per-modality normalization — can run as one vmapped device function,
+removing the per-sample python/PIL work from the input pipeline when the
+host is the bottleneck.
+
+`crop_resize` uses jax.image.scale_and_translate with a bilinear kernel over
+the same affine the host `crop` computes (transforms.get_transform); exact
+uint8-quantization parity with scipy.misc lives only in the host path — the
+device path trades bit-parity for throughput and is opt-in.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+
+
+def crop_resize(img: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray, res: int) -> jnp.ndarray:
+    """Crop a (center, 200*scale) box and resize to res x res, bilinear.
+
+    img: [H, W, C] float; center: [2] (x, y); scale: [] bbox scale.
+    """
+    h = 200.0 * scale
+    # Output pixel u maps to input x = center - h/2 + (u + .5) * h / res.
+    sxy = jnp.stack([res / h, res / h])
+    txy = jnp.stack(
+        [
+            res * (0.5 - center[0] / h),
+            res * (0.5 - center[1] / h),
+        ]
+    )
+    return jax.image.scale_and_translate(
+        img, (res, res, img.shape[-1]),
+        spatial_dims=(1, 0),  # (x, y) scale/translation ordering
+        scale=sxy, translation=txy, method="linear",
+    )
+
+
+def _apply_one(img, center, scale, flip, noise, mean, std, res):
+    out = crop_resize(img, center, scale, res)
+    out = jnp.where(flip > 0, out[:, ::-1, :], out)
+    out = jnp.clip(out * noise, 0.0, 1.0)
+    return (out - mean) / std
+
+
+def make_device_preprocess(res: int = constants.IMG_RES):
+    """Build the fused batch preprocess:
+    fn(raw: dict of [B, H, W, C] float in [0,1], center [B,2], scale [B],
+       flip [B], noise [B,3]) -> dict of normalized [B,res,res,C]."""
+
+    stats = {
+        "img": (jnp.asarray(constants.IMG_NORM_MEAN), jnp.asarray(constants.IMG_NORM_STD)),
+        "ir_img": (jnp.asarray(constants.IR_NORM_MEAN), jnp.asarray(constants.IR_NORM_STD)),
+        "depth_img": (jnp.asarray(constants.DEPTH_NORM_MEAN), jnp.asarray(constants.DEPTH_NORM_STD)),
+        "pm_img": (jnp.asarray(constants.PM_NORM_MEAN), jnp.asarray(constants.PM_NORM_STD)),
+    }
+
+    @jax.jit
+    def preprocess(raw: Dict[str, jnp.ndarray], center, scale, flip, noise):
+        out = {}
+        for key, (mean, std) in stats.items():
+            if key not in raw:
+                continue
+            n = noise[:, :1] if key != "img" else noise
+            out[key] = jax.vmap(
+                lambda im, c, s, f, pn, m=mean, sd=std: _apply_one(im, c, s, f, pn, m, sd, res)
+            )(raw[key], center, scale, flip, n)
+        return out
+
+    return preprocess

@@ -1,0 +1,57 @@
+"""End-to-end smoke test: synthetic SLP tree -> dataset -> jit inference
+pipeline -> metrics (SURVEY.md §4(d)), at reduced resolution."""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    from inbed_pose_estimation_tpu.data.synthetic import write_synthetic_environment
+
+    base = tmp_path_factory.mktemp("e2e")
+    env = write_synthetic_environment(str(base), num_subjects=1, samples_per_subject=2)
+    os.environ["INBED_DATA_ROOT"] = env["data_root"]
+    os.environ["INBED_NPZ_PATH"] = env["npz_path"]
+    from inbed_pose_estimation_tpu import config
+
+    importlib.reload(config)
+    import inbed_pose_estimation_tpu.data.dataset as ds_mod
+
+    importlib.reload(ds_mod)
+    return env, ds_mod
+
+
+def test_run_evaluation_end_to_end(env):
+    _, ds_mod = env
+    import jax
+    import jax.numpy as jnp
+
+    from inbed_pose_estimation_tpu.evaluation.evaluate import run_evaluation
+    from inbed_pose_estimation_tpu.models import build_model
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+    RES = 64
+
+    class Opt:
+        img_res = RES
+
+    ds = ds_mod.BaseDataset(Opt(), "slp-4mod-uncover", is_train=False)
+    model, spec = build_model("cashmrV2")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 6)))
+    smpl = synthetic_smpl_model(seed=0)
+
+    results = run_evaluation(
+        model, spec, variables, "slp-4mod-uncover", ds, smpl,
+        batch_size=2, img_res=RES, num_workers=1, log_freq=0,
+        num_cas_iters=2,
+    )
+    assert results["mpjpe"] is not None and np.isfinite(results["mpjpe"])
+    assert results["pa_mpjpe"] is not None and np.isfinite(results["pa_mpjpe"])
+    assert results["pa_mpjpe"] <= results["mpjpe"] + 1e-6
+    # Synthetic GT masks exist, so mask metrics must be populated.
+    assert results["mask_accuracy"] is not None
+    assert 0.0 <= results["mask_f1"] <= 1.0
