@@ -30,6 +30,7 @@ import optax
 from .. import constants
 from ..geometry import estimate_translation, perspective_projection, rotmat_to_aa, weak_perspective_to_cam_t
 from ..models import cascade_apply
+from ..ops.mask_raster import render_body_mask
 from ..parallel import batch_sharding, make_mesh, replicated, shard_batch
 from ..smpl.model import SMPLModel, smpl_forward
 from ..fitting import make_fitting_loss, make_smplify
@@ -50,7 +51,9 @@ class TrainState(NamedTuple):
 # Batch keys consumed by the compiled step (numeric only — strings like
 # imgname/dataset_name stay host-side).
 STEP_KEYS = (
-    "img", "ir_img", "depth_img", "pm_img", "depth_img_uncover",
+    "img", "ir_img", "depth_img", "pm_img",
+    "depth_img_uncover", "ir_img_uncover", "pm_img_uncover",
+    "mask_uncover", "pm_contact",
     "keypoints", "pose", "betas", "pose_3d", "has_smpl", "has_pose_3d",
     "is_flipped", "rot_angle", "sample_index",
 )
@@ -112,22 +115,57 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
         # Cascade of model forwards (train mode: dropout + BN updates).
         inputs = tuple(batch[k] for k in spec.modalities)
         new_bs = {"batch_stats": batch_stats}
-        stage_rngs = jax.random.split(rng, num_cas)
+        stage_rngs = jax.random.split(rng, max(num_cas, 2))
         stage_outs = []
+        fusion_out = None
 
-        current = list(inputs)
-        for stage in range(num_cas):
-            out, mut = model.apply(
+        if spec.input_mode in ("concat", "multi"):
+            current = list(inputs)
+            for stage in range(num_cas):
+                net_in = (
+                    jnp.concatenate(current, axis=-1)
+                    if spec.input_mode == "concat" else tuple(current)
+                )
+                out, mut = model.apply(
+                    {"params": params, **new_bs},
+                    net_in,
+                    train=True,
+                    rngs={"dropout": stage_rngs[stage]},
+                    mutable=["batch_stats"],
+                )
+                new_bs = mut
+                stage_outs.append(out)
+                if spec.cascade and "depth" in out.recon:
+                    current[spec.cascade_feed_index] = out.recon["depth"]
+        elif spec.input_mode == "fusion":
+            # Two-stage self-refinement models (trainer.py:809-877): the
+            # module itself runs stage1 -> mask -> recovery -> stage2.
+            fusion_out, mut = model.apply(
                 {"params": params, **new_bs},
-                jnp.concatenate(current, axis=-1),
+                inputs,
+                smpl_model,
                 train=True,
-                rngs={"dropout": stage_rngs[stage]},
+                rngs={"dropout": stage_rngs[0]},
                 mutable=["batch_stats"],
             )
             new_bs = mut
-            stage_outs.append(out)
-            if spec.cascade and "depth" in out.recon:
-                current[spec.cascade_feed_index] = out.recon["depth"]
+            stage_outs = [fusion_out.stage1, fusion_out.stage2]
+        elif spec.input_mode == "pm_contact":
+            # Bodies-At-Rest (trainer.py:576-588): pm (+ all modalities for
+            # the 4mod variant) stacked with the contact/edge channels.
+            net_in = jnp.concatenate(list(inputs) + [batch["pm_contact"]], axis=-1)
+            out, mut = model.apply(
+                {"params": params, **new_bs},
+                net_in,
+                mode="0",
+                train=True,
+                rngs={"dropout": stage_rngs[0]},
+                mutable=["batch_stats"],
+            )
+            new_bs = mut
+            stage_outs = [out]
+        else:
+            raise AssertionError(spec.input_mode)
 
         final = stage_outs[-1]
         pred_vertices, pred_joints, pred_kp2d, pred_cam_t = get_vertices(
@@ -195,19 +233,14 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
             + L.camera_scale_regularizer(final.cam)
         )
 
-        # --- Per-stage extras (cashmrV2 path, trainer.py:918-941) ---
-        loss_extra = 0.0
-        if "depth" in final.recon:
-            loss_extra = loss_extra + L.recon_l1_loss(
-                final.recon["depth"], batch["depth_img_uncover"]
-            )
-        for out in stage_outs[:-1]:
+        # --- Auxiliary stage/recon losses ---
+        def stage_aux_losses(out):
+            """Earlier-stage supervision terms shared by the cascade and
+            fusion paths (trainer.py:918-941 / 809-841)."""
             sv, sj, skp2d, _ = get_vertices(out.rotmat, out.betas, out.cam)
             lp, lb = L.smpl_losses(out.rotmat, out.betas, opt_pose, opt_betas, valid_fit)
-            loss_extra = loss_extra + (
-                ("depth" in out.recon)
-                * L.recon_l1_loss(out.recon.get("depth", jnp.zeros_like(batch["depth_img_uncover"])), batch["depth_img_uncover"])
-                + options.shape_loss_weight * L.shape_loss(sv, opt_vertices, valid_fit)
+            return (
+                options.shape_loss_weight * L.shape_loss(sv, opt_vertices, valid_fit)
                 + options.keypoint_loss_weight * L.keypoint_loss(
                     skp2d, gt_kp2d, options.openpose_train_weight, options.gt_train_weight
                 )
@@ -216,6 +249,39 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
                 + options.beta_loss_weight * lb
                 + L.camera_scale_regularizer(final.cam)
             )
+
+        loss_extra = 0.0
+        uncover_key = {"depth": "depth_img_uncover", "ir": "ir_img_uncover",
+                       "pm": "pm_img_uncover"}
+        if spec.input_mode in ("concat", "multi"):
+            for name, img in final.recon.items():
+                if uncover_key.get(name) in batch:
+                    loss_extra = loss_extra + L.recon_l1_loss(img, batch[uncover_key[name]])
+            for out in stage_outs[:-1]:
+                for name, img in out.recon.items():
+                    if uncover_key.get(name) in batch:
+                        loss_extra = loss_extra + L.recon_l1_loss(img, batch[uncover_key[name]])
+                loss_extra = loss_extra + stage_aux_losses(out)
+        elif spec.input_mode == "fusion":
+            # Mask supervision + mask-gated recovery losses
+            # (trainer.py:834-843).
+            mask_gt = batch["mask_uncover"]
+            loss_extra = loss_extra + 0.01 * L.recon_l1_loss(fusion_out.mask, mask_gt)
+            for name, img in fusion_out.recovered.items():
+                if uncover_key.get(name) in batch:
+                    loss_extra = loss_extra + L.recon_l1_loss(
+                        img, batch[uncover_key[name]], mask=mask_gt
+                    )
+            loss_extra = loss_extra + stage_aux_losses(fusion_out.stage1)
+        elif spec.input_mode == "pm_contact":
+            # Bodies-At-Rest mask supervision (trainer.py:968-978): splat
+            # the predicted vertices to a body mask, compare to GT uncover.
+            pred_mask = render_body_mask(
+                jax.lax.stop_gradient(pred_vertices),
+                jax.lax.stop_gradient(final.cam),
+                img_res=int(img_res),
+            )
+            loss_extra = loss_extra + 0.1 * L.recon_l1_loss(pred_mask, batch["mask_uncover"])
 
         total = (total + loss_extra) * 60.0
 
