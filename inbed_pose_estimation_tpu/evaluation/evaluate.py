@@ -107,6 +107,22 @@ def run_evaluation(
         k in dataset_name for k in ("h36m", "3dpw", "mpi-inf")
     )
     eval_masks = eval_masks_enabled and dataset_name.startswith("slp")
+    eval_parts = eval_masks_enabled and dataset_name == "lsp"
+    parts_tp = np.zeros(7)
+    parts_fp = np.zeros(7)
+    parts_fn = np.zeros(7)
+    parts_f1 = np.zeros(7)
+    parts_accuracy = 0.0
+    parts_pixel_count = 0
+    part_renderer = None
+    if eval_parts:
+        from ..render.part_renderer import PartRenderer
+
+        part_renderer = PartRenderer(
+            render_res=img_res,
+            num_vertices=smpl_model.v_template.shape[0],
+            template=np.asarray(smpl_model.v_template),
+        )
     jm_gt = np.asarray(constants.J24_TO_J17)
 
     loader = CheckpointDataLoader(
@@ -173,6 +189,33 @@ def run_evaluation(
                     fn[c] += (cgt & ~cpred).sum()
                 f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
 
+        # LSP 6-part segmentation F1 (reference: eval.py:445-467).
+        if eval_parts and part_renderer is not None:
+            _, parts_pred = part_renderer(preds["vertices"], preds["cam"])
+            parts_pred = np.asarray(parts_pred)
+            for i in range(bs):
+                pp = uncrop(
+                    parts_pred[i].astype(np.uint8),
+                    batch["center"][i], batch["scale"][i], batch["orig_shape"][i],
+                )
+                partname = batch.get("partname", [""] * bs)[i]
+                gt_parts = cv2.imread(partname, 0) if (cv2 is not None and partname) else None
+                if gt_parts is None:
+                    continue
+                for c in range(7):
+                    cgt = gt_parts == c
+                    cpred = pp == c
+                    cpred[gt_parts == 255] = 0
+                    parts_tp[c] += (cgt & cpred).sum()
+                    parts_fp[c] += (~cgt & cpred).sum()
+                    parts_fn[c] += (cgt & ~cpred).sum()
+                gt_parts = gt_parts.copy()
+                gt_parts[gt_parts == 255] = 0
+                pp[pp == 255] = 0
+                parts_f1 = 2 * parts_tp / np.maximum(2 * parts_tp + parts_fp + parts_fn, 1)
+                parts_accuracy += (gt_parts == pp).sum()
+                parts_pixel_count += int(np.prod(gt_parts.shape))
+
         if save_results:
             smpl_pose[lo:hi] = np.asarray(preds["rotmat"])
             smpl_betas[lo:hi] = np.asarray(preds["betas"])
@@ -189,6 +232,8 @@ def run_evaluation(
         "pve": 1000 * pve.mean() if eval_pose else None,
         "mask_accuracy": (accuracy / pixel_count) if pixel_count else None,
         "mask_f1": float(f1.mean()) if pixel_count else None,
+        "parts_accuracy": (parts_accuracy / parts_pixel_count) if parts_pixel_count else None,
+        "parts_f1": float(parts_f1.mean()) if parts_pixel_count else None,
     }
 
     if save_results:

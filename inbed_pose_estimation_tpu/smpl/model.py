@@ -130,6 +130,7 @@ def lbs(
     model: SMPLModel,
     betas: jnp.ndarray,
     rot_mats: jnp.ndarray,
+    skin_impl: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Linear blend skinning.
 
@@ -137,6 +138,7 @@ def lbs(
       model: SMPL assets.
       betas: [B, 10].
       rot_mats: [B, 24, 3, 3] (global orientation at index 0).
+      skin_impl: "auto" | "pallas" | "einsum" — skinning backend.
     Returns:
       (vertices [B, V, 3], joints24 [B, 24, 3]).
     """
@@ -166,12 +168,21 @@ def lbs(
     A_rot = world[:, :, :3, :3]
     A_t = world[:, :, :3, 3] - correction
 
-    # 5. Skinning: per-vertex blended rotation + translation.  Two einsums
-    # that XLA lowers to MXU matmuls of shape [B*V, 24] x [24, 12].
+    # 5. Skinning: per-vertex blended rotation + translation.  On TPU this
+    # dispatches to the fused Pallas kernel (ops/pallas_lbs.py) which keeps
+    # the blended affines in VMEM; elsewhere (CPU tests) the einsum path,
+    # which XLA lowers to MXU matmuls of shape [B*V, 24] x [24, 12].
     W = model.lbs_weights  # [V, 24]
-    R_blend = jnp.einsum("vj,bjmn->bvmn", W, A_rot, precision=_PREC)
-    t_blend = jnp.einsum("vj,bjm->bvm", W, A_t, precision=_PREC)
-    verts = jnp.einsum("bvmn,bvn->bvm", R_blend, v_posed, precision=_PREC) + t_blend
+    if skin_impl == "auto":
+        skin_impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
+    if skin_impl == "pallas":
+        from ..ops.pallas_lbs import skinning
+
+        verts = skinning(v_posed, W, A_rot, A_t)
+    else:
+        R_blend = jnp.einsum("vj,bjmn->bvmn", W, A_rot, precision=_PREC)
+        t_blend = jnp.einsum("vj,bjm->bvm", W, A_t, precision=_PREC)
+        verts = jnp.einsum("bvmn,bvn->bvm", R_blend, v_posed, precision=_PREC) + t_blend
     return verts, joints24
 
 

@@ -186,3 +186,48 @@ def mpi_inf_3dhp_extract(dataset_path, out_path, out_name="mpi_inf_3dhp_valid.np
             S = np.zeros((24, 4))
             Ss.append(S)
     _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales, part=parts, S=Ss)
+
+
+# H36M 17-joint (h36m layout) selection indices used by the reference
+# (datasets/preprocess/h36m.py): the 32-joint CDF pose is reduced to 17.
+H36M_32_TO_17 = [0, 1, 2, 3, 6, 7, 8, 12, 13, 14, 15, 17, 18, 19, 25, 26, 27]
+
+
+def h36m_extract(dataset_path, out_path, out_name="h36m_valid_protocol2.npz",
+                 protocol=2, subjects=("S9", "S11"), sample_rate=5):
+    """H36M validation extractor (reference: datasets/preprocess/h36m.py).
+
+    Reads the CDF pose annotations (requires spacepy/pycdf — offline-only,
+    lazily imported) and emits imgname/center/scale/S/part in the standard
+    schema, sampling every `sample_rate`-th frame like the reference.
+    """
+    from spacepy import pycdf  # heavyweight, offline tool only
+
+    imgnames, centers, scales, Ss, parts = [], [], [], [], []
+    for subject in subjects:
+        pose_dir = join(dataset_path, subject, "MyPoseFeatures", "D3_Positions_mono")
+        pos2d_dir = join(dataset_path, subject, "MyPoseFeatures", "D2_Positions")
+        for seq in sorted(os.listdir(pose_dir)):
+            if not seq.endswith(".cdf"):
+                continue
+            with pycdf.CDF(join(pose_dir, seq)) as cdf:
+                poses_3d = np.asarray(cdf["Pose"])[0]
+            with pycdf.CDF(join(pos2d_dir, seq)) as cdf:
+                poses_2d = np.asarray(cdf["Pose"])[0]
+            action = seq.replace(".cdf", "")
+            for t in range(0, poses_3d.shape[0], sample_rate):
+                j3d = poses_3d[t].reshape(-1, 3)[H36M_32_TO_17] / 1000.0
+                j2d = poses_2d[t].reshape(-1, 2)[H36M_32_TO_17]
+                bbox = [j2d[:, 0].min(), j2d[:, 1].min(), j2d[:, 0].max(), j2d[:, 1].max()]
+                imgnames.append(join("images", f"{subject}_{action}_{t + 1:06d}.jpg"))
+                centers.append([(bbox[2] + bbox[0]) / 2, (bbox[3] + bbox[1]) / 2])
+                scales.append(1.2 * max(bbox[2] - bbox[0], bbox[3] - bbox[1]) / 200)
+                S = np.zeros((24, 4))
+                S24_idx = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 18, 14, 16, 17]
+                S[S24_idx, :3] = j3d - j3d[0]
+                S[S24_idx, 3] = 1
+                Ss.append(S)
+                part = np.zeros((24, 3))
+                parts.append(part)
+    _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales,
+          S=Ss, part=parts)
