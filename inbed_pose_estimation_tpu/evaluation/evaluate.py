@@ -52,6 +52,52 @@ def load_j_regressor_h36m(path: Optional[str] = None, num_vertices: int = consta
     return J
 
 
+def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model, img_res):
+    """Write recovered-modality images and mesh overlays for inspection
+    (reference: eval.py:294-378 renders shape/side/top + recovered imgs)."""
+    from .. import constants as C
+    from ..render.renderer import Renderer
+
+    out_dir = os.path.join(result_file, dataset_name)
+    os.makedirs(out_dir, exist_ok=True)
+    renderer = Renderer(
+        focal_length=C.FOCAL_LENGTH, img_res=img_res, faces=np.asarray(smpl_model.faces)
+    )
+    from ..geometry import weak_perspective_to_cam_t
+
+    cam_t = np.asarray(
+        weak_perspective_to_cam_t(preds["cam"], C.FOCAL_LENGTH, img_res)
+    )
+    verts = np.asarray(preds["vertices"])
+    recon = {k: np.asarray(v) for k, v in preds.get("recon", {}).items()}
+    imgs = np.asarray(batch["img"])
+    mean = np.asarray(C.IMG_NORM_MEAN)
+    std = np.asarray(C.IMG_NORM_STD)
+    bs = imgs.shape[0]
+    for i in range(min(bs, 8)):  # cap per batch to keep dumps small
+        idx = offset + i
+        rgb = np.clip(imgs[i] * std + mean, 0, 1)
+        try:
+            overlay = renderer(verts[i], cam_t[i], rgb)
+            if cv2 is not None:
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{idx:06d}_shape.png"),
+                    (overlay[:, :, ::-1] * 255).astype(np.uint8),
+                )
+        except Exception:
+            pass  # rendering is best-effort, never fails the eval
+        for name, img in recon.items():
+            if cv2 is not None:
+                norm = {"depth": (C.DEPTH_NORM_MEAN, C.DEPTH_NORM_STD),
+                        "ir": (C.IR_NORM_MEAN, C.IR_NORM_STD),
+                        "pm": (C.PM_NORM_MEAN, C.PM_NORM_STD)}[name]
+                rec = np.clip(img[i, :, :, 0] * norm[1][0] + norm[0][0], 0, 1)
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{idx:06d}_{name}_recovered.png"),
+                    (rec * 255).astype(np.uint8),
+                )
+
+
 def run_evaluation(
     model,
     spec,
@@ -221,6 +267,11 @@ def run_evaluation(
             smpl_betas[lo:hi] = np.asarray(preds["betas"])
             smpl_camera[lo:hi] = np.asarray(preds["cam"])
             pred_joints_out[lo:hi] = np.asarray(preds["keypoints_3d_17"])
+            # Artifact dumps for manual inspection (reference eval.py:294-378):
+            # recovered modality images + mesh overlays.
+            _save_artifacts(
+                result_file, dataset_name, lo, batch, preds, smpl_model, img_res
+            )
 
         if log_freq and step % log_freq == log_freq - 1 and eval_pose:
             print(f"MPJPE: {1000 * mpjpe[:hi].mean()}")

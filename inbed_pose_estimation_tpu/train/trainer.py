@@ -328,8 +328,15 @@ class Trainer:
         self.train_ds = train_ds
         self.summary_writer = summary_writer
 
-        self.mesh = make_mesh()
-        self.n_devices = len(self.mesh.devices.ravel())
+        # Mesh over the largest device count that evenly divides the batch
+        # (a 1-chip host still gets a 1-device mesh; an 8-chip slice with
+        # batch 64 uses all 8).
+        all_devices = jax.devices()
+        n = len(all_devices)
+        while n > 1 and options.batch_size % n != 0:
+            n -= 1
+        self.mesh = make_mesh(all_devices[:n])
+        self.n_devices = n
 
         step_fn, self.tx = make_train_step(model, spec, smpl_model, prior, options)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))

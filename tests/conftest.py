@@ -21,3 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the train-step/model graphs take minutes to
+# compile on this 1-core host; caching makes repeated suite runs fast.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
