@@ -49,7 +49,7 @@ def make_forward_fn(
 
         if spec.cascade:
             outs = cascade_apply(
-                apply_fn, inputs, num_cas_iters, feed_index=spec.cascade_feed_index
+                apply_fn, inputs, num_cas_iters, feed_map=spec.cascade_feed_map
             )
             return outs[-1]
         return apply_fn(inputs)

@@ -22,15 +22,15 @@ def cascade_apply(
     apply_fn: Callable[..., HMROutput],
     inputs: Sequence[jnp.ndarray],
     num_cas_iters: int,
-    feed_index: int = 2,
-    recon_key: str = "depth",
+    feed_map: Sequence[tuple] = (("depth", 2),),
 ) -> List[HMROutput]:
     """Run the depth-feedback cascade.
 
     Args:
       apply_fn: closure of (modality tuple) -> HMROutput (variables bound).
-      inputs: modality tuple; slot `feed_index` (depth) is replaced by the
-        previous stage's reconstruction from stage 1 on.
+      inputs: modality tuple; per `feed_map`, each named reconstruction
+        replaces its input slot from stage 1 on (cashmrV2: recovered depth
+        into slot 2; ir_depth variants: both recovered modalities).
       num_cas_iters: total number of forward passes (reference semantics:
         both trainer and eval run exactly num_cas_iters model calls).
     Returns:
@@ -41,6 +41,7 @@ def cascade_apply(
     for stage in range(max(int(num_cas_iters), 1)):
         out = apply_fn(tuple(current))
         outs.append(out)
-        if recon_key in out.recon:
-            current[feed_index] = out.recon[recon_key]
+        for name, slot in feed_map:
+            if name in out.recon:
+                current[slot] = out.recon[name]
     return outs

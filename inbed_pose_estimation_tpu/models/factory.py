@@ -44,7 +44,13 @@ class ModelSpec:
     modalities: Tuple[str, ...]  # batch keys in feed order
     cascade: bool = False        # driver runs the num_cas_iters cascade
     recon_heads: Tuple[str, ...] = ()
-    cascade_feed_index: int = 2  # which modality slot the recon depth replaces
+    # recon-head -> input-slot replacements applied between cascade stages
+    # (cashmrV2 replaces the depth slot; ir_depth variants replace both).
+    cascade_feed_map: Tuple[Tuple[str, int], ...] = (("depth", 2),)
+
+    @property
+    def cascade_feed_index(self) -> int:
+        return self.cascade_feed_map[0][1]
 
 
 _SPECS = {
@@ -67,11 +73,27 @@ _SPECS = {
     "featatt_cashmr": ModelSpec(
         "featatt_cashmr", "multi", MODALITY_SETS["all4"], cascade=True, recon_heads=("depth",)
     ),
+    # Registered in the reference factory (models/hmr.py:2858) but its torch
+    # implementation would crash (wrong-class super() chain, SURVEY.md §2.2);
+    # here it is a working 2-trunk cross-attention model with depth+ir
+    # recovery, cascading both recovered modalities.
+    "ir_depth_featatt_cashmrV2": ModelSpec(
+        "ir_depth_featatt_cashmrV2", "multi", MODALITY_SETS["ir_depth"],
+        cascade=True, recon_heads=("depth", "ir"),
+        cascade_feed_map=(("ir", 0), ("depth", 1)),
+    ),
     "ir_depth_fusion": ModelSpec("ir_depth_fusion", "fusion", MODALITY_SETS["ir_depth"]),
     "ir_pm_fusion": ModelSpec("ir_pm_fusion", "fusion", MODALITY_SETS["ir_pm"]),
     "rgb_depth_fusion": ModelSpec("rgb_depth_fusion", "fusion", MODALITY_SETS["rgb_depth"]),
     "rgb_pm_fusion": ModelSpec("rgb_pm_fusion", "fusion", MODALITY_SETS["rgb_pm"]),
     "ir_depth_pm_fusion": ModelSpec("ir_depth_pm_fusion", "fusion", MODALITY_SETS["ir_depth_pm"]),
+    # Registered but broken in the reference (strict=Ture NameError at
+    # train/trainer.py:34 + wrong super(); SURVEY.md §2.2): mapped to a
+    # working 4-modality two-stage fusion.
+    "ir_depth_pm_rgb_fusion": ModelSpec(
+        "ir_depth_pm_rgb_fusion", "fusion",
+        ("ir_img", "depth_img", "pm_img", "img"),
+    ),
     "bodiesAtRest": ModelSpec("bodiesAtRest", "pm_contact", ("pm_img",)),
     "bodiesAtRest4mod": ModelSpec("bodiesAtRest4mod", "pm_contact", MODALITY_SETS["all4"]),
 }
@@ -120,21 +142,23 @@ def build_model(
         module = MultiTrunkCore(
             num_trunks=len(spec.modalities),
             recon_heads=spec.recon_heads,
-            cross_attention=(name == "featatt_cashmr"),
+            cross_attention=name in ("featatt_cashmr", "ir_depth_featatt_cashmrV2"),
+            skip_trunk=min(2, len(spec.modalities) - 1),
             n_iter=n_iter,
             dtype=dtype,
             **mean_kw,
         )
     elif spec.input_mode == "fusion":
-        recover = {
-            "ir_depth_fusion": ("ir", "depth"),
-            "ir_pm_fusion": ("ir", "pm"),
-            "rgb_depth_fusion": ("depth",),
-            "rgb_pm_fusion": ("pm",),
-            "ir_depth_pm_fusion": ("ir", "depth"),
+        recover, slots = {
+            "ir_depth_fusion": (("ir", "depth"), (0, 1)),
+            "ir_pm_fusion": (("ir", "pm"), (0, 1)),
+            "rgb_depth_fusion": (("depth",), (1,)),
+            "rgb_pm_fusion": (("pm",), (1,)),
+            "ir_depth_pm_fusion": (("ir", "depth"), (0, 1)),
+            "ir_depth_pm_rgb_fusion": (("ir", "depth"), (0, 1)),
         }[name]
         module = TwoStageFusion(
-            recover_heads=recover, n_iter=n_iter, dtype=dtype, **mean_kw
+            recover_heads=recover, recover_slots=slots, n_iter=n_iter, dtype=dtype, **mean_kw
         )
     elif spec.input_mode == "pm_contact":
         in_ch = {"bodiesAtRest": 3, "bodiesAtRest4mod": 8}[name]

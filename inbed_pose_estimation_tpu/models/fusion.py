@@ -86,6 +86,9 @@ class TwoStageFusion(nn.Module):
     mean_shape: Tuple[float, ...]
     mean_cam: Tuple[float, ...]
     recover_heads: Tuple[str, ...] = ("ir", "depth")
+    # Input slot gated/replaced by each recovery head; -1 entries default to
+    # the head's position.  rgb_depth_fusion recovers slot 1 (depth), etc.
+    recover_slots: Tuple[int, ...] = ()
     n_iter: int = 3
     dtype: Dtype = jnp.float32
 
@@ -123,27 +126,24 @@ class TwoStageFusion(nn.Module):
 
         feat_up = _FeatUp(dtype=self.dtype, name="feat_up")(x4)
 
-        # Recovery decoders: one per gated modality.  The gated slot index is
-        # the position of the recovered modality in `inputs` (last slots for
-        # ir_depth_pm which gates ir/depth only, matching the reference).
+        # Recovery decoders: one per gated modality.
+        slots = self.recover_slots or tuple(range(len(self.recover_heads)))
+        slot_of = dict(zip(self.recover_heads, slots))
         recovered = {}
-        n_rec = len(self.recover_heads)
-        gate_slots = list(range(len(inputs)))[:n_rec] if n_rec <= len(inputs) else list(range(len(inputs)))
-        for head, slot in zip(self.recover_heads, gate_slots):
-            gated = inputs[slot] * mask
+        for head in self.recover_heads:
+            gated = inputs[slot_of[head]] * mask
             recovered[head] = _RecoverHead(dtype=self.dtype, name=f"recover_{head}")(
                 gated, feat_up, x0, train
             )
 
-        # Stage 2: re-regress from the recovered appearance.
-        stage2_in = jnp.concatenate([recovered[h] for h in self.recover_heads], axis=-1)
-        if stage2_in.shape[-1] != x.shape[-1]:
-            # Width mismatch (e.g. rgb_depth_fusion recovers only depth):
-            # append the untouched leading modalities like the reference's
-            # single-recovery variants.
-            stage2_in = jnp.concatenate(
-                [inputs[i] for i in range(len(inputs) - 1)] + [stage2_in], axis=-1
-            )
-        out2 = encoder(stage2_in, train=train)
+        # Stage 2: re-regress with recovered modalities substituted into
+        # their input slots (untouched modalities pass through), so the
+        # shared encoder sees the same channel layout as stage 1.
+        head_of_slot = {s: h for h, s in slot_of.items()}
+        stage2_parts = [
+            recovered[head_of_slot[i]] if i in head_of_slot else inputs[i]
+            for i in range(len(inputs))
+        ]
+        out2 = encoder(jnp.concatenate(stage2_parts, axis=-1), train=train)
 
         return FusionOutput(stage1=out1, stage2=out2, recovered=recovered, mask=mask)

@@ -231,3 +231,39 @@ def h36m_extract(dataset_path, out_path, out_name="h36m_valid_protocol2.npz",
                 parts.append(part)
     _save(out_path, out_name, imgname=imgnames, center=centers, scale=scales,
           S=Ss, part=parts)
+
+
+def mpi_inf_3dhp_extract_frames(dataset_path, subjects=range(1, 9), seqs=range(1, 3),
+                                cameras=(0, 1, 2, 4, 5, 6, 7, 8)):
+    """Extract frames from MPI-INF-3DHP training videos to jpg
+    (reference: datasets/preprocess/mpi_inf_3dhp_extract_frames_from_video.py).
+    Uses cv2.VideoCapture; writes <seq>/imageFrames/video_<c>/frame_XXXXXX.jpg.
+    """
+    import cv2
+
+    for s in subjects:
+        for seq in seqs:
+            seq_dir = join(dataset_path, f"S{s}", f"Seq{seq}")
+            for c in cameras:
+                video = join(seq_dir, "imageSequence", f"video_{c}.avi")
+                if not os.path.exists(video):
+                    continue
+                out_dir = join(seq_dir, "imageFrames", f"video_{c}")
+                os.makedirs(out_dir, exist_ok=True)
+                cap = cv2.VideoCapture(video)
+                t = 0
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    t += 1
+                    cv2.imwrite(join(out_dir, f"frame_{t:06d}.jpg"), frame)
+                cap.release()
+
+
+def h36m_train_extract(dataset_path, out_path, out_name="h36m_train.npz",
+                       subjects=("S1", "S5", "S6", "S7", "S8"), sample_rate=5):
+    """H36M training extractor (reference: datasets/preprocess/h36m_train.py):
+    same CDF reading as h36m_extract over the training subjects."""
+    return h36m_extract(dataset_path, out_path, out_name=out_name,
+                        subjects=subjects, sample_rate=sample_rate)

@@ -135,8 +135,10 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
                 )
                 new_bs = mut
                 stage_outs.append(out)
-                if spec.cascade and "depth" in out.recon:
-                    current[spec.cascade_feed_index] = out.recon["depth"]
+                if spec.cascade:
+                    for name, slot in spec.cascade_feed_map:
+                        if name in out.recon:
+                            current[slot] = out.recon[name]
         elif spec.input_mode == "fusion":
             # Two-stage self-refinement models (trainer.py:809-877): the
             # module itself runs stage1 -> mask -> recovery -> stage2.
@@ -317,6 +319,20 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
     return train_step, tx
 
 
+def _merge_tolerant(base, incoming):
+    """Recursively overwrite `base` leaves with same-path, same-shape leaves
+    from `incoming` (torch strict=False load semantics)."""
+    if not isinstance(base, dict) or not isinstance(incoming, dict):
+        b = np.asarray(base)
+        inc = np.asarray(incoming)
+        return incoming if b.shape == inc.shape else base
+    out = dict(base)
+    for k, v in incoming.items():
+        if k in out:
+            out[k] = _merge_tolerant(out[k], v)
+    return out
+
+
 class Trainer:
     """Epoch/step driver: resumable loader, graceful time-boxed exit,
     periodic checkpoint/summaries (utils/base_trainer.py:55-131)."""
@@ -354,6 +370,21 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
+
+        # --pretrained_checkpoint: weights-only tolerant load, strict=False
+        # semantics (reference utils/base_trainer.py:44-53): keys present in
+        # the checkpoint override matching paths; everything else keeps init.
+        pretrained = getattr(options, "pretrained_checkpoint", None)
+        if pretrained:
+            if pretrained.endswith(".pt"):
+                from .checkpoint import load_torch_checkpoint
+
+                pre_vars, _ = load_torch_checkpoint(pretrained)
+            else:
+                pre_vars, _, _ = load_checkpoint(pretrained)
+            params = _merge_tolerant(params, pre_vars.get("params", {}))
+            batch_stats = _merge_tolerant(batch_stats, pre_vars.get("batch_stats", {}))
+            opt_state = self.tx.init(params)
 
         self.checkpoint_batch_idx = 0
         self.epoch0 = 0

@@ -32,7 +32,7 @@ def test_cashmrV2_forward_shapes_and_cascade():
     def apply_fn(mods):
         return model.apply(variables, jnp.concatenate(mods, axis=-1))
 
-    outs = cascade_apply(apply_fn, inputs, num_cas_iters=3, feed_index=spec.cascade_feed_index)
+    outs = cascade_apply(apply_fn, inputs, num_cas_iters=3, feed_map=spec.cascade_feed_map)
     assert len(outs) == 3
     final = outs[-1]
     assert final.rotmat.shape == (B, 24, 3, 3)
@@ -126,3 +126,33 @@ def test_mean_params_initialize_ief():
     assert np.isfinite(np.asarray(out.pose6d)).all()
     det = np.linalg.det(np.asarray(out.rotmat).reshape(-1, 3, 3))
     np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+
+def test_rgb_depth_fusion_slot_substitution():
+    """Single-recovery fusion keeps the stage-2 channel layout identical to
+    stage 1 (rgb passes through, recovered depth replaces slot 1)."""
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+    model, spec = build_model("rgb_depth_fusion")
+    smpl = synthetic_smpl_model(seed=0)
+    rng = np.random.default_rng(7)
+    inputs = _modality_batch(spec.modalities, rng)
+    variables = model.init(jax.random.PRNGKey(0), inputs, smpl)
+    out = model.apply(variables, inputs, smpl)
+    assert set(out.recovered) == {"depth"}
+    assert out.stage2.rotmat.shape == (B, 24, 3, 3)
+
+
+def test_ir_depth_featatt_cashmrV2_dual_cascade():
+    """2-trunk attention model cascading both recovered modalities."""
+    model, spec = build_model("ir_depth_featatt_cashmrV2")
+    rng = np.random.default_rng(8)
+    inputs = _modality_batch(spec.modalities, rng)
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+
+    def apply_fn(mods):
+        return model.apply(variables, tuple(mods))
+
+    outs = cascade_apply(apply_fn, inputs, num_cas_iters=2, feed_map=spec.cascade_feed_map)
+    assert set(outs[-1].recon) == {"depth", "ir"}
+    assert not np.allclose(np.asarray(outs[0].pose6d), np.asarray(outs[1].pose6d))
