@@ -15,7 +15,6 @@ Normalization stays host-side float math identical to torchvision Normalize
 
 from __future__ import annotations
 
-import os
 from os.path import join
 from typing import Optional
 

@@ -15,7 +15,7 @@ device path trades bit-parity for throughput and is opt-in.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

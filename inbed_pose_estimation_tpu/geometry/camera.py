@@ -112,7 +112,9 @@ def estimate_translation(
 
     Wq = Q * w[..., None, None]
     Wrhs = rhs * w[..., None]
-    # Normal equations over the 48 rows.
+    # Normal equations over the 48 rows; tiny ridge keeps the solve finite
+    # when a sample has no confident joints (the reference would crash).
     A = jnp.einsum("bjri,bjrk->bik", Wq, Wq, precision=_PREC)
+    A = A + 1e-6 * jnp.eye(3, dtype=A.dtype)
     b = jnp.einsum("bjri,bjr->bi", Wq, Wrhs, precision=_PREC)
     return jnp.linalg.solve(A, b[..., None])[..., 0]

@@ -9,7 +9,6 @@ only static shapes so XLA can fuse them into surrounding graphs.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS_NORMALIZE = 1e-12  # matches torch.nn.functional.normalize clamping

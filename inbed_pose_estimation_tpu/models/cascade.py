@@ -11,7 +11,7 @@ round-trips, and the intermediate depth maps never leave HBM.
 
 from __future__ import annotations
 
-from typing import Any, Callable, List, Sequence
+from typing import Callable, List, Sequence
 
 import jax.numpy as jnp
 

@@ -30,7 +30,7 @@ from ..geometry import rot6d_to_rotmat
 from .attention import CrossAttention
 from .backbone import ResNet50Trunk
 from .decoder import Reconstruct
-from .heads import IEFHead, NPOSE
+from .heads import IEFHead
 
 Dtype = Any
 

@@ -1,4 +1,5 @@
 from .mesh import (
+    initialize_distributed,
     batch_sharding,
     make_mesh,
     pad_to_multiple,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "batch_sharding",
     "make_mesh",
     "pad_to_multiple",

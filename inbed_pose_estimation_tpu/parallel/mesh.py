@@ -23,6 +23,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host scale-out over DCN: thin wrapper over
+    jax.distributed.initialize (SURVEY.md §5.8).  After this, make_mesh()
+    spans all hosts' devices and the same batch-sharded train step scales
+    out with zero further changes (XLA routes gradient psums over ICI within
+    a slice and DCN across)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the given (default: all) devices."""
     devs = list(devices) if devices is not None else jax.devices()

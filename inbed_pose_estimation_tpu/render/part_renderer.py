@@ -20,7 +20,6 @@ import numpy as np
 
 from .. import config, constants
 from ..geometry import perspective_projection, weak_perspective_to_cam_t
-from ..ops.mask_raster import render_body_mask, splat_points_to_mask
 
 
 def vertex_part_labels(num_vertices: int, cube_parts_path: Optional[str] = None,

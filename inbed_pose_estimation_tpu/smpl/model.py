@@ -32,7 +32,6 @@ import numpy as np
 # error).  All LBS contractions therefore pin f32 MXU passes.
 _PREC = lax.Precision.HIGHEST
 
-from .. import constants
 from ..geometry import batch_rodrigues
 
 

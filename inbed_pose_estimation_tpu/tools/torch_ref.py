@@ -19,9 +19,6 @@ SURVEY.md §2.2/§3.5 — dropout/BN/IEF semantics match the reference contract.
 
 from __future__ import annotations
 
-import math
-
-import numpy as np
 
 try:
     import torch

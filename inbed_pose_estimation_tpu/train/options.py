@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                      help="Model compute dtype (params stay float32)")
     tpu.add_argument("--seed", type=int, default=0)
+    tpu.add_argument("--remat", default=False, action="store_true",
+                     help="Rematerialize cascade stages on backward (memory for FLOPs)")
     return p
 
 

@@ -18,7 +18,6 @@ is XLA's inserted psum.  BatchNorm stays per-shard like DataParallel.
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Any, NamedTuple
 
@@ -29,9 +28,8 @@ import optax
 
 from .. import constants
 from ..geometry import estimate_translation, perspective_projection, rotmat_to_aa, weak_perspective_to_cam_t
-from ..models import cascade_apply
 from ..ops.mask_raster import render_body_mask
-from ..parallel import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel import batch_sharding, make_mesh, replicated
 from ..smpl.model import SMPLModel, smpl_forward
 from ..fitting import make_fitting_loss, make_smplify
 from . import losses as L
@@ -68,6 +66,7 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
     focal = constants.FOCAL_LENGTH
     tx = optax.adam(options.lr)
     run_smplify = bool(options.run_smplify)
+    use_remat = bool(getattr(options, "remat", False))
     num_cas = int(options.num_cas_iters) if spec.cascade else 1
     fitting_loss_fn = make_fitting_loss(smpl_model, prior, focal)
     smplify_fn = make_smplify(
@@ -119,6 +118,21 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
         stage_outs = []
         fusion_out = None
 
+        def stage_forward(p, bs, net_in, stage_rng):
+            return model.apply(
+                {"params": p, **bs},
+                net_in,
+                train=True,
+                rngs={"dropout": stage_rng},
+                mutable=["batch_stats"],
+            )
+
+        if use_remat:
+            # Rematerialize each cascade stage on the backward pass: trades
+            # ~2x stage FLOPs for O(1) activation memory across the cascade,
+            # enabling batch-64 x num_cas_iters=3 training on one chip.
+            stage_forward = jax.checkpoint(stage_forward)
+
         if spec.input_mode in ("concat", "multi"):
             current = list(inputs)
             for stage in range(num_cas):
@@ -126,12 +140,8 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
                     jnp.concatenate(current, axis=-1)
                     if spec.input_mode == "concat" else tuple(current)
                 )
-                out, mut = model.apply(
-                    {"params": params, **new_bs},
-                    net_in,
-                    train=True,
-                    rngs={"dropout": stage_rngs[stage]},
-                    mutable=["batch_stats"],
+                out, mut = stage_forward(
+                    params, new_bs, net_in, stage_rngs[stage]
                 )
                 new_bs = mut
                 stage_outs.append(out)
@@ -362,9 +372,11 @@ class Trainer:
         sample_shape = (2, options.img_res, options.img_res,
                         sum({"img": 3}.get(m, 1) for m in spec.modalities))
         variables = model.init(rng, jnp.zeros(sample_shape, jnp.float32))
+        from .. import config as _config
+
         fits_store = FitsStore(
             options.data_train, len(train_ds), options.checkpoint_dir,
-            static_fits_dir=None,
+            static_fits_dir=_config.STATIC_FITS_DIR,
         )
         self.fits_store = fits_store
         params = variables["params"]

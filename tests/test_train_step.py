@@ -149,3 +149,22 @@ def test_train_step_on_8_device_mesh():
     # Params remain replicated after the step.
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'd cascade stages give the identical loss."""
+    model, spec = build_model("cashmrV2")
+    smpl = synthetic_smpl_model(seed=0)
+    prior = synthetic_gmm_prior()
+
+    class OptR(Opt):
+        remat = True
+
+    batch = _fake_batch(2, 5)
+    losses = []
+    for opt_cls in (Opt, OptR):
+        step_fn, _ = make_train_step(model, spec, smpl, prior, opt_cls())
+        state = _make_state(model, spec, opt_cls(), seed=3)
+        _, metrics = jax.jit(step_fn)(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5), losses
