@@ -58,7 +58,7 @@ def _skin_kernel(aff_ref, v_ref, w_ref, out_ref):
     out_ref[2, :] = acc_z
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def skinning(
     v_posed: jnp.ndarray,
     lbs_weights: jnp.ndarray,
@@ -68,6 +68,12 @@ def skinning(
 ) -> jnp.ndarray:
     """Blend-skin posed vertices.
 
+    verts[b,v] = sum_j W[v,j] (A_rot[b,j] @ v_posed[b,v] + A_t[b,j])
+
+    Forward runs the fused Pallas kernel; the op is bilinear, so the custom
+    VJP below is closed-form einsums (standard XLA ops) — gradients flow
+    through SMPLify's scanned optimizer and the training losses.
+
     Args:
       v_posed: [B, V, 3].
       lbs_weights: [V, 24].
@@ -76,6 +82,10 @@ def skinning(
     Returns:
       [B, V, 3] skinned vertices (numerically == the einsum path, f32).
     """
+    return _skinning_fwd_impl(v_posed, lbs_weights, A_rot, A_t, interpret)
+
+
+def _skinning_fwd_impl(v_posed, lbs_weights, A_rot, A_t, interpret):
     B, V = v_posed.shape[0], v_posed.shape[1]
     Vpad = -(-V // TILE_V) * TILE_V
 
@@ -101,3 +111,32 @@ def skinning(
         interpret=interpret,
     )(aff, vt, wt)
     return jnp.swapaxes(out, 1, 2)[:, :V, :]
+
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _skinning_fwd(v_posed, lbs_weights, A_rot, A_t, interpret):
+    out = _skinning_fwd_impl(v_posed, lbs_weights, A_rot, A_t, interpret)
+    return out, (v_posed, lbs_weights, A_rot, A_t)
+
+
+def _skinning_bwd(interpret, residuals, g):
+    """Closed-form cotangents of the bilinear skinning op."""
+    v_posed, W, A_rot, A_t = residuals
+    # d v_posed[b,v,n] = sum_j W[v,j] A_rot[b,j,m,n] g[b,v,m]
+    R_blend = jnp.einsum("vj,bjmn->bvmn", W, A_rot, precision=_PREC)
+    d_v = jnp.einsum("bvmn,bvm->bvn", R_blend, g, precision=_PREC)
+    # d A_rot[b,j,m,n] = sum_v W[v,j] g[b,v,m] v_posed[b,v,n]
+    d_rot = jnp.einsum("vj,bvm,bvn->bjmn", W, g, v_posed, precision=_PREC)
+    # d A_t[b,j,m] = sum_v W[v,j] g[b,v,m]
+    d_t = jnp.einsum("vj,bvm->bjm", W, g, precision=_PREC)
+    # d W[v,j] = sum_{b,m} g[b,v,m] (A_rot[b,j] @ v + A_t[b,j])[m]
+    # (3-operand einsum lets XLA pick the cheapest contraction order).
+    d_W = jnp.einsum("bvm,bjmn,bvn->vj", g, A_rot, v_posed, precision=_PREC) + jnp.einsum(
+        "bvm,bjm->vj", g, A_t, precision=_PREC
+    )
+    return d_v, d_W, d_rot, d_t
+
+
+skinning.defvjp(_skinning_fwd, _skinning_bwd)

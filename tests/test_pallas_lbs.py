@@ -47,3 +47,30 @@ def test_vert2map_basic():
     # Far-away empty area stays empty.
     assert contact[20, 20] == 0.0
     assert depth[20, 20] == 0.0
+
+
+def test_pallas_skinning_custom_vjp_matches_einsum_grads():
+    """Gradients through the pallas skinning (custom VJP) match the
+    einsum-path gradients for all four inputs."""
+    rng = np.random.default_rng(1)
+    B, V = 2, 300
+    v_posed = jnp.asarray(rng.normal(0, 0.3, (B, V, 3)).astype(np.float32))
+    W = jnp.asarray(rng.dirichlet(np.ones(24), size=V).astype(np.float32))
+    aa = rng.normal(0, 0.4, (B * 24, 3)).astype(np.float32)
+    A_rot = batch_rodrigues(jnp.asarray(aa)).reshape(B, 24, 3, 3)
+    A_t = jnp.asarray(rng.normal(0, 0.2, (B, 24, 3)).astype(np.float32))
+    target = jnp.asarray(rng.normal(0, 1, (B, V, 3)).astype(np.float32))
+
+    def loss_pallas(v, w, r, t):
+        return jnp.sum((skinning(v, w, r, t, True) - target) ** 2)
+
+    def loss_einsum(v, w, r, t):
+        Rb = jnp.einsum("vj,bjmn->bvmn", w, r)
+        tb = jnp.einsum("vj,bjm->bvm", w, t)
+        out = jnp.einsum("bvmn,bvn->bvm", Rb, v) + tb
+        return jnp.sum((out - target) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(v_posed, W, A_rot, A_t)
+    g_e = jax.grad(loss_einsum, argnums=(0, 1, 2, 3))(v_posed, W, A_rot, A_t)
+    for a, b in zip(g_p, g_e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
