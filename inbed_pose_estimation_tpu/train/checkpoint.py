@@ -122,13 +122,43 @@ def _dense_w(w: np.ndarray) -> np.ndarray:
 _BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}
 
 
+# Multi-trunk models name their per-modality encoders feat_extraction_<mod>
+# (reference models/hmr.py:975-978); ours are trunk0..trunk3 in feed order.
+_TRUNK_BY_MOD = {"rgb": "trunk0", "ir": "trunk1", "depth": "trunk2", "pm": "trunk3"}
+
+
 def _map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
     """Map a reference state-dict key to (flax path, leaf, collection).
 
-    Returns None for keys that have no flax counterpart (mean-param buffers,
-    BN num_batches_tracked).
+    Handles the HMRCore family directly, plus two structural prefixes:
+      * `encoder_1.` (fusion models' shared HMR encoder,
+        models/hmr.py:1639) -> nested under our ("encoder",) module;
+      * `feat_extraction_<mod>.` (multi-trunk models) -> trunk<i> with the
+        trunk-internal stem/stage names.
+    Returns None for keys with no flax counterpart (mean-param buffers,
+    BN num_batches_tracked, recovery decoders whose architecture we
+    re-designed).
     """
     if key.endswith("num_batches_tracked") or key.startswith(("init_pose", "init_shape", "init_cam")):
+        return None
+
+    # Fusion models: shared encoder prefix.
+    if key.startswith("encoder_1."):
+        mapped = _map_torch_key(key[len("encoder_1."):])
+        if mapped is None:
+            return None
+        path, leaf, coll = mapped
+        return ("encoder",) + path, leaf, coll
+
+    # Multi-trunk per-modality encoders.
+    m = re.match(r"feat_extraction_(\w+)\.(.*)$", key)
+    if m and m.group(1) in _TRUNK_BY_MOD:
+        mapped = _map_torch_key(m.group(2))
+        if mapped is None:
+            return None
+        path, leaf, coll = mapped
+        if path and path[0] == "trunk":
+            return (_TRUNK_BY_MOD[m.group(1)],) + path[1:], leaf, coll
         return None
 
     def bn_leaf(suffix: str) -> Tuple[str, str]:

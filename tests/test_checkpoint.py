@@ -53,3 +53,28 @@ def test_latest_checkpoint_discovery(tmp_path):
     latest = latest_checkpoint(str(tmp_path))
     assert latest.endswith("epoch_2_100.npz")
     assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_torch_key_mapping_families():
+    from inbed_pose_estimation_tpu.train.checkpoint import _map_torch_key
+
+    # HMRCore family.
+    assert _map_torch_key("conv1.weight") == (("trunk", "conv1"), "kernel", "params")
+    assert _map_torch_key("layer2.1.bn3.running_mean") == (
+        ("trunk", "layer2", "block1", "bn3"), "mean", "batch_stats")
+    assert _map_torch_key("layer1.0.downsample.0.weight") == (
+        ("trunk", "layer1", "block0", "downsample_conv"), "kernel", "params")
+    assert _map_torch_key("decpose.bias") == (("head", "decpose"), "bias", "params")
+    assert _map_torch_key("Reconstruct_depth.decDepth3.1.body.4.weight") == (
+        ("reconstruct_depth", "dec3", "res", "bn1"), "scale", "params")
+    assert _map_torch_key("Reconstruct_depth.decDepth.4.weight") == (
+        ("reconstruct_depth", "proj"), "kernel", "params")
+    # Fusion encoder prefix.
+    assert _map_torch_key("encoder_1.fc1.weight") == (
+        ("encoder", "head", "fc1"), "kernel", "params")
+    # Multi-trunk prefix.
+    assert _map_torch_key("feat_extraction_depth.layer4.2.conv2.weight") == (
+        ("trunk2", "layer4", "block2", "conv2"), "kernel", "params")
+    # Ignored keys.
+    assert _map_torch_key("init_pose") is None
+    assert _map_torch_key("bn1.num_batches_tracked") is None
