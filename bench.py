@@ -96,6 +96,10 @@ def measure_tpu(iters: int = 20) -> float:
                 num_vertices=smpl_model.v_template.shape[0]
             ),
             num_cas_iters=NUM_CAS_ITERS,
+            # The final stage's depth reconstruction is a discarded byproduct
+            # for pose metrics (the reference computes it anyway); lazy heads
+            # skip it.
+            final_recon=False,
         )
     )
 

@@ -30,6 +30,7 @@ def make_forward_fn(
     spec,
     num_cas_iters: int = 2,
     train: bool = False,
+    final_recon: bool = True,
 ):
     """Build fn(variables, modality_tuple) -> HMROutput (final stage).
 
@@ -38,20 +39,21 @@ def make_forward_fn(
 
     def forward(variables, inputs):
         if spec.input_mode == "concat":
-            def apply_fn(mods):
-                return model.apply(variables, jnp.concatenate(list(mods), axis=-1))
+            def apply_fn(mods, **kw):
+                return model.apply(variables, jnp.concatenate(list(mods), axis=-1), **kw)
         elif spec.input_mode == "multi":
-            def apply_fn(mods):
-                return model.apply(variables, tuple(mods))
+            def apply_fn(mods, **kw):
+                return model.apply(variables, tuple(mods), **kw)
         else:
             raise ValueError(f"forward_fn supports concat/multi, got {spec.input_mode}")
 
         if spec.cascade:
             outs = cascade_apply(
-                apply_fn, inputs, num_cas_iters, feed_map=spec.cascade_feed_map
+                apply_fn, inputs, num_cas_iters, feed_map=spec.cascade_feed_map,
+                final_recon=final_recon,
             )
             return outs[-1]
-        return apply_fn(inputs)
+        return apply_fn(inputs) if final_recon else apply_fn(inputs, compute_recon=False)
 
     return forward
 
@@ -62,6 +64,7 @@ def make_inference_fn(
     smpl_model: SMPLModel,
     j_regressor_h36m: Optional[np.ndarray] = None,
     num_cas_iters: int = 2,
+    final_recon: bool = True,
 ):
     """Build the full eval step: fn(variables, inputs) -> dict of predictions.
 
@@ -69,7 +72,7 @@ def make_inference_fn(
     J_regressor is given) 17 pelvis-centered H36M-regressed joints
     (reference: eval.py:399-405).
     """
-    forward = make_forward_fn(model, spec, num_cas_iters)
+    forward = make_forward_fn(model, spec, num_cas_iters, final_recon=final_recon)
     jreg = None if j_regressor_h36m is None else jnp.asarray(j_regressor_h36m, jnp.float32)
 
     def infer(variables, inputs):

@@ -23,6 +23,7 @@ def cascade_apply(
     inputs: Sequence[jnp.ndarray],
     num_cas_iters: int,
     feed_map: Sequence[tuple] = (("depth", 2),),
+    final_recon: bool = True,
 ) -> List[HMROutput]:
     """Run the depth-feedback cascade.
 
@@ -38,8 +39,13 @@ def cascade_apply(
     """
     outs: List[HMROutput] = []
     current = list(inputs)
-    for stage in range(max(int(num_cas_iters), 1)):
-        out = apply_fn(tuple(current))
+    n = max(int(num_cas_iters), 1)
+    for stage in range(n):
+        last = stage == n - 1
+        if last and not final_recon:
+            out = apply_fn(tuple(current), compute_recon=False)
+        else:
+            out = apply_fn(tuple(current))
         outs.append(out)
         for name, slot in feed_map:
             if name in out.recon:

@@ -73,6 +73,7 @@ class HMRCore(nn.Module):
         init_shape: Optional[jnp.ndarray] = None,
         init_cam: Optional[jnp.ndarray] = None,
         train: bool = False,
+        compute_recon: bool = True,
     ) -> HMROutput:
         batch = x.shape[0]
         if init_pose is None:
@@ -84,11 +85,18 @@ class HMRCore(nn.Module):
 
         x0, x1, x2, x3, x4 = ResNet50Trunk(dtype=self.dtype, name="trunk")(x, train)
 
+        # The decoders are ~half the model FLOPs; the final cascade stage's
+        # reconstruction is a discarded byproduct in eval (the reference
+        # always computes it — eval.py:175 — a cost XLA cannot elide because
+        # torch executes eagerly).  compute_recon=False skips them; flax
+        # still initializes their params via the init-time call.
         recon = {}
         for head in self.recon_heads:
-            recon[head] = Reconstruct(dtype=self.dtype, name=f"reconstruct_{head}")(
-                x0, x1, x2, x3, x4, train
-            )
+            dec = Reconstruct(dtype=self.dtype, name=f"reconstruct_{head}")
+            if compute_recon or self.is_initializing():
+                recon[head] = dec(x0, x1, x2, x3, x4, train)
+        if not compute_recon:
+            recon = {}
 
         xf = jnp.mean(x4, axis=(1, 2))  # GAP == AvgPool2d(7) on 7x7 maps
         pose6d, betas, cam = IEFHead(
@@ -149,6 +157,7 @@ class MultiTrunkCore(nn.Module):
         init_shape: Optional[jnp.ndarray] = None,
         init_cam: Optional[jnp.ndarray] = None,
         train: bool = False,
+        compute_recon: bool = True,
     ) -> HMROutput:
         assert len(inputs) == self.num_trunks
         batch = inputs[0].shape[0]
@@ -175,9 +184,13 @@ class MultiTrunkCore(nn.Module):
         if self.recon_heads:
             skips = pyramids[min(self.skip_trunk, self.num_trunks - 1)]
             for head in self.recon_heads:
-                recon[head] = Reconstruct(
+                dec = Reconstruct(
                     num_feat=self.num_trunks, dtype=self.dtype, name=f"reconstruct_{head}"
-                )(skips[0], skips[1], skips[2], skips[3], x4, train=train)
+                )
+                if compute_recon or self.is_initializing():
+                    recon[head] = dec(skips[0], skips[1], skips[2], skips[3], x4, train=train)
+            if not compute_recon:
+                recon = {}
 
         xf = jnp.mean(x4, axis=(1, 2))  # [B, 2048*num_trunks]
         pose6d, betas, cam = IEFHead(

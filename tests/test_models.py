@@ -156,3 +156,20 @@ def test_ir_depth_featatt_cashmrV2_dual_cascade():
     outs = cascade_apply(apply_fn, inputs, num_cas_iters=2, feed_map=spec.cascade_feed_map)
     assert set(outs[-1].recon) == {"depth", "ir"}
     assert not np.allclose(np.asarray(outs[0].pose6d), np.asarray(outs[1].pose6d))
+
+
+def test_final_recon_skip_preserves_pose_outputs():
+    """Skipping the last-stage decoder must not change pose predictions."""
+    from inbed_pose_estimation_tpu.evaluation.pipeline import make_forward_fn
+
+    model, spec = build_model("cashmrV2")
+    rng = np.random.default_rng(9)
+    inputs = _modality_batch(spec.modalities, rng)
+    variables = model.init(jax.random.PRNGKey(0), jnp.concatenate(inputs, axis=-1))
+
+    full = make_forward_fn(model, spec, num_cas_iters=2, final_recon=True)(variables, inputs)
+    lazy = make_forward_fn(model, spec, num_cas_iters=2, final_recon=False)(variables, inputs)
+    np.testing.assert_allclose(np.asarray(lazy.pose6d), np.asarray(full.pose6d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lazy.cam), np.asarray(full.cam), atol=1e-6)
+    assert lazy.recon == {}
+    assert "depth" in full.recon
