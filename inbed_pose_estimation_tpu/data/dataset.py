@@ -56,6 +56,16 @@ class BaseDataset:
         # Crop resolution: constants.IMG_RES unless options overrides
         # (tests use small crops to keep CPU compile times sane).
         self.img_res = int(getattr(options, "img_res", constants.IMG_RES) or constants.IMG_RES)
+        # Opt-in native C++ fused crop+resize+noise path (ops/native): ~an
+        # order of magnitude faster host preprocessing than the PIL
+        # bit-parity path, used when no rotation augmentation was drawn.
+        self.fast_preprocess = bool(getattr(options, "fast_preprocess", False))
+        if self.fast_preprocess:
+            from ..ops import native as _native
+
+            self._native = _native if _native.available() else None
+        else:
+            self._native = None
         self.img_dir = config.DATASET_FOLDERS[dataset]
         self.data = np.load(config.DATASET_FILES[int(is_train)][dataset], allow_pickle=True)
         self.imgname = self.data["imgname"]
@@ -122,7 +132,27 @@ class BaseDataset:
         return flip, pn, rot, sc
 
     # -- per-modality processing (base_dataset.py:157-183), NHWC outputs ----
+    def _native_crop(self, img_u8, center, scale, flip, pn):
+        """Fused crop+resize+noise (+flip) via the C++ kernel, in [0, 1]."""
+        C = img_u8.shape[-1]
+        out = self._native.preprocess_batch(
+            img_u8[None],
+            np.asarray(center, np.float32)[None],
+            np.asarray([scale], np.float32),
+            np.asarray([float(flip)], np.float32),
+            np.tile(np.asarray(pn, np.float32)[:3], (1, 1)),
+            self.img_res,
+            np.zeros(C, np.float32),
+            np.ones(C, np.float32),
+            num_threads=1,
+        )[0]
+        return out
+
     def rgb_processing(self, rgb_img, center, scale, rot, flip, pn):
+        if self._native is not None and rot == 0:
+            return self._native_crop(
+                np.ascontiguousarray(rgb_img).astype(np.uint8), center, scale, flip, pn
+            )
         img = crop(rgb_img, center, scale, [self.img_res, self.img_res], rot=rot)
         img = img.astype(np.float32)
         if flip:
@@ -132,6 +162,11 @@ class BaseDataset:
         return img / 255.0  # [H, W, 3]
 
     def gray_processing(self, gray_img, center, scale, rot, flip, pn):
+        if self._native is not None and rot == 0:
+            return self._native_crop(
+                np.ascontiguousarray(gray_img).astype(np.uint8)[:, :, None],
+                center, scale, flip, pn,
+            )
         img = crop(gray_img, center, scale, [self.img_res, self.img_res], rot=rot)
         img = img.astype(np.float32)
         if flip:

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--seed", type=int, default=0)
     tpu.add_argument("--remat", default=False, action="store_true",
                      help="Rematerialize cascade stages on backward (memory for FLOPs)")
+    tpu.add_argument("--fast_preprocess", default=False, action="store_true",
+                     help="Use the native C++ fused crop kernel for host preprocessing "
+                          "(not bit-identical to the reference resampler)")
     return p
 
 

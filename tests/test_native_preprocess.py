@@ -66,3 +66,41 @@ def test_native_flip():
         np.ones((1, 3), np.float32), 32, np.zeros(1, np.float32), np.ones(1, np.float32),
     )
     np.testing.assert_allclose(out_flip[0, :, ::-1], out_noflip[0], atol=1e-5)
+
+
+@pytest.mark.skipif(not native.available(), reason="no g++ / build failed")
+def test_dataset_fast_preprocess_close_to_reference_path(tmp_path):
+    """The native fast path approximates the PIL bit-parity path (different
+    resamplers, so tolerance is loose) and produces the same schema."""
+    import importlib
+    import os as _os
+
+    from inbed_pose_estimation_tpu.data.synthetic import write_synthetic_environment
+
+    env = write_synthetic_environment(str(tmp_path), num_subjects=1, samples_per_subject=2)
+    _os.environ["INBED_DATA_ROOT"] = env["data_root"]
+    _os.environ["INBED_NPZ_PATH"] = env["npz_path"]
+    from inbed_pose_estimation_tpu import config as cfg
+
+    importlib.reload(cfg)
+    import inbed_pose_estimation_tpu.data.dataset as ds_mod
+
+    importlib.reload(ds_mod)
+
+    class Slow:
+        img_res = 64
+
+    class Fast:
+        img_res = 64
+        fast_preprocess = True
+
+    ds_slow = ds_mod.BaseDataset(Slow(), "slp-4mod-uncover", is_train=False)
+    ds_fast = ds_mod.BaseDataset(Fast(), "slp-4mod-uncover", is_train=False)
+    assert ds_fast._native is not None
+    a = ds_slow[0]
+    b = ds_fast[0]
+    assert b["img"].shape == a["img"].shape
+    # Same image content modulo resampler differences.
+    assert np.abs(a["img"] - b["img"]).mean() < 0.2
+    corr = np.corrcoef(a["img"].ravel(), b["img"].ravel())[0, 1]
+    assert corr > 0.95, corr
