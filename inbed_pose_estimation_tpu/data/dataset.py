@@ -320,18 +320,44 @@ class BaseDataset:
 
 
 class MixedDataset:
-    """Single-dataset wrapper matching the reference's current behavior
-    (reference: datasets/mixed_dataset.py:31-46 — 100% options.data_train);
-    exposes `dataset_dict` for the fits dictionary."""
+    """Multi-dataset batch mixture.
+
+    Default behavior matches the reference's current single-dataset mode
+    (reference: datasets/mixed_dataset.py:31-46 — 100% options.data_train).
+    Ratio mixing — the reference's commented-out 30% H36M / 60% ITW / 10%
+    MPI-INF intent (mixed_dataset.py:11-29,48-70) — is supported via
+    `options.data_train = "name1:0.3+name2:0.7"`: each virtual index draws a
+    source dataset by the given partition, so an epoch over `len(self)`
+    indices realizes the requested mixture.
+    """
 
     def __init__(self, options, **kwargs):
-        self.dataset = BaseDataset(options, options.data_train, **kwargs)
-        self.dataset_dict = {options.data_train: 0}
-        self.datasets = [self.dataset]
-        self.length = len(self.dataset)
+        spec = getattr(options, "data_train", "slp-4mod-train")
+        parts = []
+        for token in spec.split("+"):
+            if ":" in token:
+                name, ratio = token.split(":")
+                parts.append((name, float(ratio)))
+            else:
+                parts.append((token, 1.0))
+        total = sum(r for _, r in parts)
+        self.partition = [(name, r / total) for name, r in parts]
+
+        self.datasets = [BaseDataset(options, name, **kwargs) for name, _ in self.partition]
+        self.dataset_dict = {name: i for i, (name, _) in enumerate(self.partition)}
+        self.dataset = self.datasets[0]
+        self.length = max(len(ds) for ds in self.datasets)
+
+        # Cumulative partition boundaries over the virtual index space.
+        bounds = np.cumsum([r for _, r in self.partition])
+        self._bounds = bounds / bounds[-1]
 
     def __getitem__(self, index):
-        return self.dataset[index]
+        frac = (index % self.length) / self.length
+        ds_idx = int(np.searchsorted(self._bounds, frac, side="right"))
+        ds_idx = min(ds_idx, len(self.datasets) - 1)
+        ds = self.datasets[ds_idx]
+        return ds[index % len(ds)]
 
     def __len__(self):
         return self.length

@@ -120,3 +120,30 @@ def test_flip_pose_involution():
     rng = np.random.default_rng(2)
     pose = rng.normal(size=(72,)).astype(np.float32)
     np.testing.assert_allclose(flip_pose(flip_pose(pose.copy())), pose, atol=1e-6)
+
+
+def test_mixed_dataset_ratio_mixture(synth_env):
+    """Ratio-mixed MixedDataset draws from both sources per the partition
+    (the reference's commented-out mixture intent, mixed_dataset.py:11-29)."""
+    _, ds_mod = synth_env
+
+    class Opt:
+        img_res = 64
+        data_train = "slp-4mod-uncover:0.5+slp-4mod-cover1:0.5"
+
+    mixed = ds_mod.MixedDataset(Opt(), is_train=False)
+    assert set(mixed.dataset_dict) == {"slp-4mod-uncover", "slp-4mod-cover1"}
+    names = {mixed[i]["dataset_name"] for i in range(len(mixed))}
+    assert names == {"slp-4mod-uncover", "slp-4mod-cover1"}
+
+
+def test_mixed_dataset_single_default(synth_env):
+    _, ds_mod = synth_env
+
+    class Opt:
+        img_res = 64
+        data_train = "slp-4mod-train"
+
+    mixed = ds_mod.MixedDataset(Opt(), is_train=True)
+    assert mixed.dataset_dict == {"slp-4mod-train": 0}
+    assert len(mixed) == len(mixed.datasets[0])
