@@ -280,3 +280,41 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], dict]:
     if "dataset_perm" in ckpt and ckpt["dataset_perm"] is not None:
         meta["dataset_perm"] = np.asarray(ckpt["dataset_perm"])
     return variables, meta
+
+
+class CheckpointSaver:
+    """API-compatibility shim over the functional checkpoint interface,
+    mirroring the reference's CheckpointSaver surface (utils/saver.py:7-72):
+    save_checkpoint / load_checkpoint / latest-checkpoint discovery with
+    `exists_checkpoint()`."""
+
+    def __init__(self, save_dir: str, save_steps: int = 1000):
+        self.save_dir = os.path.abspath(save_dir)
+        self.save_steps = save_steps
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.latest_checkpoint = latest_checkpoint(self.save_dir)
+
+    def exists_checkpoint(self, checkpoint_file: Optional[str] = None) -> bool:
+        if checkpoint_file is None:
+            return latest_checkpoint(self.save_dir) is not None
+        return os.path.isfile(checkpoint_file)
+
+    def save_checkpoint(self, variables, epoch, batch_idx, batch_size,
+                        dataset_perm, total_step_count, opt_state_flat=None):
+        path = save_checkpoint(
+            self.save_dir, variables, opt_state_flat=opt_state_flat,
+            metadata={
+                "batch_size": batch_size,
+                "dataset_perm": np.asarray(dataset_perm) if dataset_perm is not None else None,
+                "total_step_count": total_step_count,
+            },
+            epoch=epoch, batch_idx=batch_idx,
+        )
+        self.latest_checkpoint = path
+        return path
+
+    def load_checkpoint(self, checkpoint_file: Optional[str] = None):
+        path = checkpoint_file or latest_checkpoint(self.save_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint under {self.save_dir}")
+        return load_checkpoint(path)
