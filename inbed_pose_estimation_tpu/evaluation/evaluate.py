@@ -182,7 +182,10 @@ def run_evaluation(
         bs = batch["img"].shape[0]
         lo = step * batch_size
         hi = lo + bs
-        inputs = tuple(jnp.asarray(batch[k]) for k in spec.modalities)
+        feed_keys = list(spec.modalities)
+        if spec.input_mode == "pm_contact":
+            feed_keys.append("pm_contact")
+        inputs = tuple(jnp.asarray(batch[k]) for k in feed_keys)
         preds = infer(variables, inputs)
 
         if eval_pose:

@@ -44,8 +44,15 @@ def make_forward_fn(
         elif spec.input_mode == "multi":
             def apply_fn(mods, **kw):
                 return model.apply(variables, tuple(mods), **kw)
+        elif spec.input_mode == "pm_contact":
+            # Bodies-At-Rest eval (reference eval.py:230-236): modalities
+            # stacked with the contact/edge channels, direct (mode "0")
+            # regression.  `inputs` carries pm_contact as its last element.
+            def apply_fn(mods, **kw):
+                kw.pop("compute_recon", None)
+                return model.apply(variables, jnp.concatenate(list(mods), axis=-1), mode="0")
         else:
-            raise ValueError(f"forward_fn supports concat/multi, got {spec.input_mode}")
+            raise ValueError(f"unsupported input mode {spec.input_mode}")
 
         if spec.cascade:
             outs = cascade_apply(

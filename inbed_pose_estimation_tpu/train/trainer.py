@@ -367,11 +367,26 @@ class Trainer:
         step_fn, self.tx = make_train_step(model, spec, smpl_model, prior, options)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
 
-        # Init or resume.
+        # Init or resume.  Init args mirror the model family's input mode.
         rng = jax.random.PRNGKey(options.seed)
-        sample_shape = (2, options.img_res, options.img_res,
-                        sum({"img": 3}.get(m, 1) for m in spec.modalities))
-        variables = model.init(rng, jnp.zeros(sample_shape, jnp.float32))
+        res = options.img_res
+        mods = tuple(
+            jnp.zeros((2, res, res, {"img": 3}.get(m, 1)), jnp.float32)
+            for m in spec.modalities
+        )
+        if spec.input_mode == "concat":
+            variables = model.init(rng, jnp.concatenate(mods, axis=-1))
+        elif spec.input_mode == "multi":
+            variables = model.init(rng, mods)
+        elif spec.input_mode == "fusion":
+            variables = model.init(rng, mods, smpl_model)
+        elif spec.input_mode == "pm_contact":
+            contact = jnp.zeros((2, res, res, 2), jnp.float32)
+            variables = model.init(
+                rng, jnp.concatenate(list(mods) + [contact], axis=-1), mode="0"
+            )
+        else:
+            raise AssertionError(spec.input_mode)
         from .. import config as _config
 
         fits_store = FitsStore(

@@ -55,3 +55,32 @@ def test_run_evaluation_end_to_end(env):
     # Synthetic GT masks exist, so mask metrics must be populated.
     assert results["mask_accuracy"] is not None
     assert 0.0 <= results["mask_f1"] <= 1.0
+
+
+def test_run_evaluation_bodies_at_rest(env):
+    """Bodies-At-Rest eval path (pm+contact stacking, mode-0 regression)."""
+    _, ds_mod = env
+    import jax
+    import jax.numpy as jnp
+
+    from inbed_pose_estimation_tpu.evaluation.evaluate import run_evaluation
+    from inbed_pose_estimation_tpu.models import build_model
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+    RES = 64
+
+    class Opt:
+        img_res = RES
+
+    ds = ds_mod.BaseDataset(Opt(), "slp-4mod-uncover", is_train=False)
+    model, spec = build_model("bodiesAtRest")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)), mode="0")
+    smpl = synthetic_smpl_model(seed=0)
+
+    results = run_evaluation(
+        model, spec, variables, "slp-4mod-uncover", ds, smpl,
+        batch_size=2, img_res=RES, num_workers=1, log_freq=0,
+        eval_masks_enabled=False,
+    )
+    import numpy as np
+    assert np.isfinite(results["mpjpe"])
