@@ -53,16 +53,23 @@ def main():
     else:
         import jax.numpy as jnp
 
-        ch = sum({"img": 3}.get(m, 1) for m in spec.modalities)
+        res = args.img_res
+        mods = tuple(
+            jnp.zeros((1, res, res, {"img": 3}.get(m, 1))) for m in spec.modalities
+        )
         if spec.input_mode == "multi":
-            x = tuple(
-                jnp.zeros((1, args.img_res, args.img_res, {"img": 3}.get(m, 1)))
-                for m in spec.modalities
+            variables = model.init(jax.random.PRNGKey(0), mods)
+        elif spec.input_mode == "fusion":
+            variables = model.init(jax.random.PRNGKey(0), mods, smpl_model)
+        elif spec.input_mode == "pm_contact":
+            contact = jnp.zeros((1, res, res, 2))
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.concatenate(list(mods) + [contact], axis=-1), mode="0",
             )
-            variables = model.init(jax.random.PRNGKey(0), x)
         else:
             variables = model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, args.img_res, args.img_res, ch))
+                jax.random.PRNGKey(0), jnp.concatenate(mods, axis=-1)
             )
 
     splits = [args.dataset] if args.dataset else [

@@ -31,6 +31,7 @@ def make_forward_fn(
     num_cas_iters: int = 2,
     train: bool = False,
     final_recon: bool = True,
+    smpl_model: Optional[SMPLModel] = None,
 ):
     """Build fn(variables, modality_tuple) -> HMROutput (final stage).
 
@@ -44,6 +45,14 @@ def make_forward_fn(
         elif spec.input_mode == "multi":
             def apply_fn(mods, **kw):
                 return model.apply(variables, tuple(mods), **kw)
+        elif spec.input_mode == "fusion":
+            # Two-stage fusion eval (reference eval.py:200-226): the final
+            # prediction is the stage-2 regression; recovered images surface
+            # through `recon` for artifact dumps.
+            def apply_fn(mods, **kw):
+                fo = model.apply(variables, tuple(mods), smpl_model)
+                out = fo.stage2
+                return out._replace(recon=dict(fo.recovered, mask=fo.mask))
         elif spec.input_mode == "pm_contact":
             # Bodies-At-Rest eval (reference eval.py:230-236): modalities
             # stacked with the contact/edge channels, direct (mode "0")
@@ -79,7 +88,9 @@ def make_inference_fn(
     J_regressor is given) 17 pelvis-centered H36M-regressed joints
     (reference: eval.py:399-405).
     """
-    forward = make_forward_fn(model, spec, num_cas_iters, final_recon=final_recon)
+    forward = make_forward_fn(
+        model, spec, num_cas_iters, final_recon=final_recon, smpl_model=smpl_model
+    )
     jreg = None if j_regressor_h36m is None else jnp.asarray(j_regressor_h36m, jnp.float32)
 
     def infer(variables, inputs):

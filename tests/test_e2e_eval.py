@@ -84,3 +84,34 @@ def test_run_evaluation_bodies_at_rest(env):
     )
     import numpy as np
     assert np.isfinite(results["mpjpe"])
+
+
+def test_run_evaluation_fusion(env):
+    """Two-stage fusion eval path (stage-2 prediction, recovered images
+    exposed through recon)."""
+    _, ds_mod = env
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inbed_pose_estimation_tpu.evaluation.evaluate import run_evaluation
+    from inbed_pose_estimation_tpu.models import build_model
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+    RES = 64
+
+    class Opt:
+        img_res = RES
+
+    ds = ds_mod.BaseDataset(Opt(), "slp-4mod-uncover", is_train=False)
+    model, spec = build_model("ir_depth_fusion")
+    smpl = synthetic_smpl_model(seed=0)
+    mods = tuple(jnp.zeros((1, RES, RES, 1)) for _ in spec.modalities)
+    variables = model.init(jax.random.PRNGKey(0), mods, smpl)
+
+    results = run_evaluation(
+        model, spec, variables, "slp-4mod-uncover", ds, smpl,
+        batch_size=2, img_res=RES, num_workers=1, log_freq=0,
+        eval_masks_enabled=False,
+    )
+    assert np.isfinite(results["mpjpe"])
