@@ -3,7 +3,8 @@
 Mirrors the reference's path-config surface (reference: config.py:1-101):
 per-dataset npz index files for train/test splits, dataset image roots, and
 asset paths.  `DATA_ROOT` is overridable via the INBED_DATA_ROOT env var so
-tests can point everything at a synthetic tree.
+tests can point everything at a synthetic tree; asset locations via
+INBED_ASSET_DIR.
 """
 
 from __future__ import annotations
@@ -12,71 +13,94 @@ import os
 from os.path import join
 
 DATA_ROOT = os.environ.get("INBED_DATA_ROOT", "../../Dataset/pose/")
-SLP_ROOT = join(DATA_ROOT, "SLP/SLP/danaLab")
-H36M_ROOT = join(DATA_ROOT, "human36m")
-LSP_ROOT = join(DATA_ROOT, "lsp")
-LSP_ORIGINAL_ROOT = join(DATA_ROOT, "lsp_original")
-LSPET_ROOT = join(DATA_ROOT, "lspextend_hr")
-MPII_ROOT = join(DATA_ROOT, "mpii")
-COCO_ROOT = join(DATA_ROOT, "coco")
-MPI_INF_3DHP_ROOT = join(DATA_ROOT, "mpi_inf_3dhp")
-PW3D_ROOT = join(DATA_ROOT, "3DPW")
-UPI_S1H_ROOT = join(DATA_ROOT, "upi_s1h")
+
+_DATASET_DIRS = {
+    "slp": "SLP/SLP/danaLab",
+    "h36m": "human36m",
+    "lsp": "lsp",
+    "lsp_original": "lsp_original",
+    "lspet": "lspextend_hr",
+    "mpii": "mpii",
+    "coco": "coco",
+    "mpi_inf_3dhp": "mpi_inf_3dhp",
+    "3dpw": "3DPW",
+    "upi_s1h": "upi_s1h",
+}
+_ROOTS = {k: join(DATA_ROOT, v) for k, v in _DATASET_DIRS.items()}
+
+SLP_ROOT = _ROOTS["slp"]
+H36M_ROOT = _ROOTS["h36m"]
+LSP_ROOT = _ROOTS["lsp"]
+LSP_ORIGINAL_ROOT = _ROOTS["lsp_original"]
+LSPET_ROOT = _ROOTS["lspet"]
+MPII_ROOT = _ROOTS["mpii"]
+COCO_ROOT = _ROOTS["coco"]
+MPI_INF_3DHP_ROOT = _ROOTS["mpi_inf_3dhp"]
+PW3D_ROOT = _ROOTS["3dpw"]
+UPI_S1H_ROOT = _ROOTS["upi_s1h"]
 
 DATASET_NPZ_PATH = os.environ.get("INBED_NPZ_PATH", "data/dataset_extras")
+
+
+def _npz(name: str) -> str:
+    return join(DATASET_NPZ_PATH, name)
+
+
+# SLP splits share a naming scheme: <prefix>_<cover>_{test,train}.npz.
+_SLP_EVAL_SPLITS = {
+    f"slp-{mod}-{cover}": f"slp_{mod}_{cover}_test.npz"
+    for mod in ("rgb", "ir")
+    for cover in ("uncover", "cover1", "cover2")
+}
+_SLP_MULTI_EVAL = {
+    f"slp-{cover}": f"slp_multi_mod_{cover}_test.npz"
+    for cover in ("uncover", "cover1", "cover2")
+}
+_SLP_4MOD_EVAL = {
+    f"slp-4mod-{cover}": f"slp_4mod_{cover}.npz"
+    for cover in ("uncover", "cover1", "cover2")
+}
 
 # Index npz per dataset name; [0] = eval splits, [1] = train splits
 # (reference: config.py:28-63).
 DATASET_FILES = [
     {
-        "h36m-p1": join(DATASET_NPZ_PATH, "h36m_valid_protocol1.npz"),
-        "h36m-p2": join(DATASET_NPZ_PATH, "h36m_valid_protocol2.npz"),
-        "lsp": join(DATASET_NPZ_PATH, "lsp_dataset_test.npz"),
-        "mpi-inf-3dhp": join(DATASET_NPZ_PATH, "mpi_inf_3dhp_valid.npz"),
-        "3dpw": join(DATASET_NPZ_PATH, "3dpw_test.npz"),
-        "slp-rgb-uncover": join(DATASET_NPZ_PATH, "slp_rgb_uncover_test.npz"),
-        "slp-rgb-cover1": join(DATASET_NPZ_PATH, "slp_rgb_cover1_test.npz"),
-        "slp-rgb-cover2": join(DATASET_NPZ_PATH, "slp_rgb_cover2_test.npz"),
-        "slp-ir-uncover": join(DATASET_NPZ_PATH, "slp_ir_uncover_test.npz"),
-        "slp-ir-cover1": join(DATASET_NPZ_PATH, "slp_ir_cover1_test.npz"),
-        "slp-ir-cover2": join(DATASET_NPZ_PATH, "slp_ir_cover2_test.npz"),
-        "slp-uncover": join(DATASET_NPZ_PATH, "slp_multi_mod_uncover_test.npz"),
-        "slp-cover1": join(DATASET_NPZ_PATH, "slp_multi_mod_cover1_test.npz"),
-        "slp-cover2": join(DATASET_NPZ_PATH, "slp_multi_mod_cover2_test.npz"),
-        "slp-4mod-uncover": join(DATASET_NPZ_PATH, "slp_4mod_uncover.npz"),
-        "slp-4mod-cover1": join(DATASET_NPZ_PATH, "slp_4mod_cover1.npz"),
-        "slp-4mod-cover2": join(DATASET_NPZ_PATH, "slp_4mod_cover2.npz"),
-        "slp-4mod-train": join(DATASET_NPZ_PATH, "slp_4mod_train.npz"),
+        **{k: _npz(v) for k, v in _SLP_EVAL_SPLITS.items()},
+        **{k: _npz(v) for k, v in _SLP_MULTI_EVAL.items()},
+        **{k: _npz(v) for k, v in _SLP_4MOD_EVAL.items()},
+        "slp-4mod-train": _npz("slp_4mod_train.npz"),
+        "h36m-p1": _npz("h36m_valid_protocol1.npz"),
+        "h36m-p2": _npz("h36m_valid_protocol2.npz"),
+        "lsp": _npz("lsp_dataset_test.npz"),
+        "mpi-inf-3dhp": _npz("mpi_inf_3dhp_valid.npz"),
+        "3dpw": _npz("3dpw_test.npz"),
     },
     {
-        "h36m": join(DATASET_NPZ_PATH, "h36m_train.npz"),
-        "lsp-orig": join(DATASET_NPZ_PATH, "lsp_dataset_original_train.npz"),
-        "mpii": join(DATASET_NPZ_PATH, "mpii_train.npz"),
-        "coco": join(DATASET_NPZ_PATH, "coco_2014_train.npz"),
-        "lspet": join(DATASET_NPZ_PATH, "hr-lspet_train.npz"),
-        "mpi-inf-3dhp": join(DATASET_NPZ_PATH, "mpi_inf_3dhp_train.npz"),
-        "slp": join(DATASET_NPZ_PATH, "slp_rgb_uncover_train.npz"),
-        "slp-rgb": join(DATASET_NPZ_PATH, "slp_rgb_train.npz"),
-        "slp-ir": join(DATASET_NPZ_PATH, "slp_ir_train.npz"),
-        "slp-multi": join(DATASET_NPZ_PATH, "slp_multi_mod_train.npz"),
-        "slp-4mod-train": join(DATASET_NPZ_PATH, "slp_4mod_train.npz"),
+        "slp": _npz("slp_rgb_uncover_train.npz"),
+        "slp-rgb": _npz("slp_rgb_train.npz"),
+        "slp-ir": _npz("slp_ir_train.npz"),
+        "slp-multi": _npz("slp_multi_mod_train.npz"),
+        "slp-4mod-train": _npz("slp_4mod_train.npz"),
+        "h36m": _npz("h36m_train.npz"),
+        "lsp-orig": _npz("lsp_dataset_original_train.npz"),
+        "mpii": _npz("mpii_train.npz"),
+        "coco": _npz("coco_2014_train.npz"),
+        "lspet": _npz("hr-lspet_train.npz"),
+        "mpi-inf-3dhp": _npz("mpi_inf_3dhp_train.npz"),
     },
 ]
 
+# Image roots per dataset name.  Every slp-* split lives under SLP_ROOT.
 DATASET_FOLDERS = {
     "h36m": H36M_ROOT, "h36m-p1": H36M_ROOT, "h36m-p2": H36M_ROOT,
     "lsp-orig": LSP_ORIGINAL_ROOT, "lsp": LSP_ROOT, "lspet": LSPET_ROOT,
     "mpi-inf-3dhp": MPI_INF_3DHP_ROOT, "mpii": MPII_ROOT, "coco": COCO_ROOT,
     "3dpw": PW3D_ROOT, "upi-s1h": UPI_S1H_ROOT,
 }
-for _name in (
-    "slp", "slp-rgb", "slp-ir", "slp-multi",
-    "slp-rgb-uncover", "slp-rgb-cover1", "slp-rgb-cover2",
-    "slp-ir-uncover", "slp-ir-cover1", "slp-ir-cover2",
-    "slp-uncover", "slp-cover1", "slp-cover2",
-    "slp-4mod-train", "slp-4mod-uncover", "slp-4mod-cover1", "slp-4mod-cover2",
-):
-    DATASET_FOLDERS[_name] = SLP_ROOT
+for _split_table in DATASET_FILES:
+    for _name in _split_table:
+        if _name.startswith("slp"):
+            DATASET_FOLDERS[_name] = SLP_ROOT
 
 # Assets (reference: config.py:95-101).
 ASSET_DIR = os.environ.get("INBED_ASSET_DIR", "data")
