@@ -46,7 +46,10 @@ def splat_points_to_mask(
     yi = xy[..., 1].astype(jnp.int32)
     valid = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
     flat = yi * width + xi
-    flat = jnp.where(valid, flat, -1)  # -1 -> dropped by scatter mode="drop"
+    # Invalid points get an index past the end: mode="drop" discards them
+    # (negative indices would WRAP in jnp scatter, silently writing the
+    # last pixel — the reference avoids this with 500px padding).
+    flat = jnp.where(valid, flat, height * width)
 
     canvas = jnp.zeros((B, height * width), dtype=jnp.float32)
     ones = jnp.ones((B, N), dtype=jnp.float32)

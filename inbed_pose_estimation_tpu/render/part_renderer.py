@@ -67,7 +67,7 @@ class PartRenderer:
             yi = uvz[..., 1].astype(jnp.int32)
             z = uvz[..., 2]
             valid = (xi >= 0) & (xi < res) & (yi >= 0) & (yi < res)
-            flat = jnp.where(valid, yi * res + xi, -1)
+            flat = jnp.where(valid, yi * res + xi, res * res)  # OOB -> dropped (negative would wrap)
             bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, V))
 
             # Z-buffer: nearest vertex per pixel wins.

@@ -1,0 +1,45 @@
+"""Scatter-splat body-mask rasterizer unit tests (ops/mask_raster.py,
+replacing reference models/hmr.py:1697-1739 and neural_renderer)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from inbed_pose_estimation_tpu.ops.mask_raster import (
+    render_body_mask,
+    splat_points_to_mask,
+)
+
+
+def test_splat_marks_and_dilates():
+    xy = jnp.asarray([[[10.4, 20.7], [50.0, 50.0]]])  # one sample, two points
+    mask = np.asarray(splat_points_to_mask(xy, 64, 64, dilation=5))[0, :, :, 0]
+    # Point centers hit (truncation toward zero like the reference's
+    # LongTensor cast).
+    assert mask[20, 10] == 1.0
+    assert mask[50, 50] == 1.0
+    # 5x5 dilation extends 2 pixels out.
+    assert mask[22, 12] == 1.0
+    assert mask[17, 10] == 0.0  # 3 away -> outside the box
+    # Empty regions stay zero.
+    assert mask[40, 10] == 0.0
+
+
+def test_splat_drops_out_of_bounds():
+    xy = jnp.asarray([[[-5.0, 3.0], [100.0, 3.0], [3.0, 100.0], [3.0, 3.0]]])
+    mask = np.asarray(splat_points_to_mask(xy, 32, 32, dilation=1))[0, :, :, 0]
+    assert mask.sum() == 1.0  # only the in-bounds point
+    assert mask[3, 3] == 1.0
+
+
+def test_render_body_mask_covers_projected_body():
+    """Vertices centered in front of the camera produce a centered blob."""
+    rng = np.random.default_rng(0)
+    verts = jnp.asarray(rng.normal(0, 0.2, (2, 500, 3)).astype(np.float32))
+    cam = jnp.asarray(np.tile([1.0, 0.0, 0.0], (2, 1)).astype(np.float32))
+    mask = np.asarray(render_body_mask(verts, cam, img_res=64))
+    assert mask.shape == (2, 64, 64, 1)
+    assert 0.0 <= mask.min() and mask.max() <= 1.0
+    # Center region covered, far corner empty.
+    assert mask[0, 28:36, 28:36].mean() > 0.5
+    assert mask[0, :4, :4].sum() == 0.0
