@@ -43,3 +43,27 @@ def test_render_body_mask_covers_projected_body():
     # Center region covered, far corner empty.
     assert mask[0, 28:36, 28:36].mean() > 0.5
     assert mask[0, :4, :4].sum() == 0.0
+
+
+def test_part_renderer_zbuffer_and_labels():
+    """PartRenderer: front vertices win the z-buffer; labels land in 1..6."""
+    import numpy as np
+
+    from inbed_pose_estimation_tpu.render.part_renderer import PartRenderer
+
+    V = 200
+    labels = ((np.arange(V) % 6) + 1).astype(np.int32)
+    renderer = PartRenderer(render_res=64, num_vertices=V, part_labels=labels)
+
+    rng = np.random.default_rng(0)
+    verts = rng.normal(0, 0.15, (1, V, 3)).astype(np.float32)
+    cam = np.asarray([[1.0, 0.0, 0.0]], np.float32)
+    mask, parts = renderer(jnp.asarray(verts), jnp.asarray(cam))
+    mask, parts = np.asarray(mask), np.asarray(parts)
+    assert mask.shape == (1, 64, 64)
+    assert parts.shape == (1, 64, 64)
+    assert mask.max() == 1.0 and mask.min() == 0.0
+    assert set(np.unique(parts)).issubset(set(range(7)))
+    # Parts only where the mask is on (dilation makes them supersets of the
+    # raw splats; compare against the dilated mask).
+    assert (parts[mask == 0] == 0).all()

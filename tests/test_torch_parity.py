@@ -63,3 +63,22 @@ def test_forward_outputs_match(twin_and_flax):
     np.testing.assert_allclose(np.asarray(out.rotmat), t_rot.numpy(), atol=5e-4)
     depth_flax = np.asarray(out.recon["depth"])[..., 0]
     np.testing.assert_allclose(depth_flax, t_depth.numpy()[:, 0], atol=5e-4)
+
+
+def test_hmr_no_decoder_parity():
+    """Converter + forward parity for the plain HMR family (no decoder):
+    covers hmr/hmr4mod/irhmr/depthhmr/pmhmr structurally."""
+    mp = mean_params(None)
+    tw = CASHMRTorch(mp["pose"], mp["shape"], mp["cam"], input_dim=3, with_decoder=False)
+    tw.eval()
+    model, spec = build_model("hmr")
+    variables = convert_torch_state_dict(tw.state_dict())
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2, 3, RES, RES)).astype(np.float32)
+    with torch.no_grad():
+        t_rot, t_shape, t_cam, _ = tw(torch.from_numpy(x))
+    out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(out.betas), t_shape.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.cam), t_cam.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.rotmat), t_rot.numpy(), atol=5e-4)
