@@ -57,7 +57,7 @@ STEP_KEYS = (
 )
 
 
-def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
+def make_train_step(model, spec, smpl_model: SMPLModel, prior, options, bar_mode: str = "0"):
     """Build the jitted train step for the concat/cascade model family
     (hmr, hmr4mod, irhmr/depthhmr/pmhmr, mulhmr, rechmr, cashmr(V2),
     rec3hmr)."""
@@ -165,11 +165,14 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
         elif spec.input_mode == "pm_contact":
             # Bodies-At-Rest (trainer.py:576-588): pm (+ all modalities for
             # the 4mod variant) stacked with the contact/edge channels.
+            # `bar_mode` implements the mod1_epoch schedule: "0" with mask
+            # supervision before the switch, "1" (gradient-stopped direct
+            # regression, no mask loss) after (trainer.py:578-581, 968-978).
             net_in = jnp.concatenate(list(inputs) + [batch["pm_contact"]], axis=-1)
             out, mut = model.apply(
                 {"params": params, **new_bs},
                 net_in,
-                mode="0",
+                mode=bar_mode,
                 train=True,
                 rngs={"dropout": stage_rngs[0]},
                 mutable=["batch_stats"],
@@ -285,9 +288,10 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options):
                         img, batch[uncover_key[name]], mask=mask_gt
                     )
             loss_extra = loss_extra + stage_aux_losses(fusion_out.stage1)
-        elif spec.input_mode == "pm_contact":
+        elif spec.input_mode == "pm_contact" and bar_mode == "0":
             # Bodies-At-Rest mask supervision (trainer.py:968-978): splat
             # the predicted vertices to a body mask, compare to GT uncover.
+            # Mode "1" (post-mod1_epoch) drops this term (trainer.py:977-978).
             pred_mask = render_body_mask(
                 jax.lax.stop_gradient(pred_vertices),
                 jax.lax.stop_gradient(final.cam),
@@ -366,6 +370,14 @@ class Trainer:
 
         step_fn, self.tx = make_train_step(model, spec, smpl_model, prior, options)
         self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self._mode1_step = None
+        if spec.input_mode == "pm_contact":
+            # Bodies-At-Rest epoch schedule: pre-build the post-mod1_epoch
+            # step so crossing the boundary is a cached swap, not a redesign.
+            step1_fn, _ = make_train_step(
+                model, spec, smpl_model, prior, options, bar_mode="1"
+            )
+            self._mode1_step = jax.jit(step1_fn, donate_argnums=(0,))
 
         # Init or resume.  Init args mirror the model family's input mode.
         rng = jax.random.PRNGKey(options.seed)
@@ -463,6 +475,9 @@ class Trainer:
         bsharding = batch_sharding(self.mesh)
 
         for epoch in range(self.epoch0, opts.num_epochs):
+            if (self._mode1_step is not None
+                    and epoch >= getattr(opts, "mod1_epoch", 10**9)):
+                self.train_step = self._mode1_step
             ckpt = None
             if epoch == self.epoch0 and self.dataset_perm is not None:
                 ckpt = {"dataset_perm": self.dataset_perm,

@@ -109,3 +109,17 @@ def test_bodies_at_rest_train_step():
         return (jnp.zeros((1, RES, RES, 3)), "0")
 
     _run_one("bodiesAtRest", init_args)
+
+
+def test_bodies_at_rest_mode1_schedule():
+    """Post-mod1_epoch step (bar_mode='1'): gradient-stopped regression with
+    no mask loss still runs and yields finite loss."""
+    model, spec = build_model("bodiesAtRest")
+    smpl = synthetic_smpl_model(seed=0)
+    prior = synthetic_gmm_prior()
+    opt = Opt()
+    step_fn, _ = make_train_step(model, spec, smpl, prior, opt, bar_mode="1")
+    state = _state(model, (jnp.zeros((1, RES, RES, 3)), "0"), opt)
+    batch = _batch(2, seed=3)
+    state, metrics = jax.jit(step_fn)(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
