@@ -63,10 +63,16 @@ def main():
             variables = model.init(jax.random.PRNGKey(0), mods, smpl_model)
         elif spec.input_mode == "pm_contact":
             contact = jnp.zeros((1, res, res, 2))
-            variables = model.init(
-                jax.random.PRNGKey(0),
-                jnp.concatenate(list(mods) + [contact], axis=-1), mode="0",
-            )
+            stacked = jnp.concatenate(list(mods) + [contact], axis=-1)
+            variables = model.init(jax.random.PRNGKey(0), stacked, mode="0")
+            if args.model == "bodiesAtRest4mod":
+                # mode-2 refinement stack has one extra (estimated-map) channel.
+                v2 = model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.concatenate([stacked, jnp.zeros((1, res, res, 1))], axis=-1),
+                    mode="2",
+                )
+                variables = {"params": {**v2["params"], **variables["params"]}}
         else:
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.concatenate(mods, axis=-1)

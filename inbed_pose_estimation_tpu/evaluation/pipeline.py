@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from ..geometry import reconstruction_error
+from ..geometry import perspective_projection, reconstruction_error
 from ..models import cascade_apply
 from ..models.hmr import HMROutput
 from ..smpl.model import SMPLModel, lbs
@@ -54,12 +54,35 @@ def make_forward_fn(
                 out = fo.stage2
                 return out._replace(recon=dict(fo.recovered, mask=fo.mask))
         elif spec.input_mode == "pm_contact":
-            # Bodies-At-Rest eval (reference eval.py:230-236): modalities
-            # stacked with the contact/edge channels, direct (mode "0")
-            # regression.  `inputs` carries pm_contact as its last element.
+            # Bodies-At-Rest eval (reference eval.py:230-288): modalities
+            # stacked with the contact/edge channels, mode-"0" regression;
+            # for the 4mod variant, a refinement pass splats the predicted
+            # joints into an estimated body-map channel and re-regresses
+            # with the mode-"2" stack (eval.py:238-288).  `inputs` carries
+            # pm_contact as its last element.
             def apply_fn(mods, **kw):
                 kw.pop("compute_recon", None)
-                return model.apply(variables, jnp.concatenate(list(mods), axis=-1), mode="0")
+                stacked = jnp.concatenate(list(mods), axis=-1)
+                out0 = model.apply(variables, stacked, mode="0")
+                if not (spec.name == "bodiesAtRest4mod" and smpl_model is not None):
+                    return out0
+                from ..constants import FOCAL_LENGTH, IMG_RES
+                from ..geometry import weak_perspective_to_cam_t
+                from ..ops.mask_raster import splat_points_to_mask
+                from ..smpl.model import smpl_forward as _smpl_fwd
+
+                res = stacked.shape[1]
+                B = stacked.shape[0]
+                sout = _smpl_fwd(smpl_model, out0.betas, rot_mats=out0.rotmat)
+                cam_t = weak_perspective_to_cam_t(out0.cam, FOCAL_LENGTH, res)
+                eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+                cc = jnp.zeros((B, 2), jnp.float32)
+                uv = perspective_projection(sout.joints, eye, cam_t, FOCAL_LENGTH, cc)
+                uv = uv + 0.5 * res  # pixel space (eval.py:257)
+                est_map = splat_points_to_mask(uv, res, res, dilation=5)
+                return model.apply(
+                    variables, jnp.concatenate([stacked, est_map], axis=-1), mode="2"
+                )
         else:
             raise ValueError(f"unsupported input mode {spec.input_mode}")
 

@@ -115,3 +115,36 @@ def test_run_evaluation_fusion(env):
         eval_masks_enabled=False,
     )
     assert np.isfinite(results["mpjpe"])
+
+
+def test_run_evaluation_bodies_at_rest_4mod_refine(env):
+    """bodiesAtRest4mod eval runs the mode-2 refinement (estimated-map
+    channel from splatted predicted joints, reference eval.py:238-288)."""
+    _, ds_mod = env
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inbed_pose_estimation_tpu.evaluation.evaluate import run_evaluation
+    from inbed_pose_estimation_tpu.models import build_model
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+    RES = 64
+
+    class Opt:
+        img_res = RES
+
+    ds = ds_mod.BaseDataset(Opt(), "slp-4mod-uncover", is_train=False)
+    model, spec = build_model("bodiesAtRest4mod")
+    smpl = synthetic_smpl_model(seed=0)
+    # Init BOTH mode stacks and merge the param trees.
+    v0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 8)), mode="0")
+    v2 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 9)), mode="2")
+    variables = {"params": {**v0["params"], **v2["params"]}}
+
+    results = run_evaluation(
+        model, spec, variables, "slp-4mod-uncover", ds, smpl,
+        batch_size=2, img_res=RES, num_workers=1, log_freq=0,
+        eval_masks_enabled=False,
+    )
+    assert np.isfinite(results["mpjpe"])
