@@ -73,6 +73,10 @@ def measure_tpu(iters: int = 20) -> float:
     import jax
     import jax.numpy as jnp
 
+    from inbed_pose_estimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from inbed_pose_estimation_tpu.evaluation.evaluate import load_j_regressor_h36m
     from inbed_pose_estimation_tpu.evaluation.pipeline import make_inference_fn
     from inbed_pose_estimation_tpu.models import build_model

@@ -28,6 +28,12 @@ parser.add_argument("--result_file", default=None, help="If set, save detections
 parser.add_argument("--num_cas_iters", default=2, type=int)
 parser.add_argument("--img_res", default=224, type=int)
 parser.add_argument("--no_masks", default=False, action="store_true")
+parser.add_argument("--device_preprocess", default=False, action="store_true",
+                    help="Fused on-device crop/normalize (raw uint8 decode on "
+                         "host, one jit preprocess program per batch)")
+parser.add_argument("--allow_synthetic_assets", default=False, action="store_true",
+                    help="Run with synthetic SMPL/regressor stand-ins when real "
+                         "assets are missing (metrics NOT reference-comparable)")
 
 
 def main():
@@ -35,12 +41,27 @@ def main():
 
     import jax
 
+    from inbed_pose_estimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from inbed_pose_estimation_tpu import config
     from inbed_pose_estimation_tpu.data import BaseDataset
     from inbed_pose_estimation_tpu.evaluation import run_evaluation
     from inbed_pose_estimation_tpu.models import build_model
     from inbed_pose_estimation_tpu.smpl import load_or_synthesize
     from inbed_pose_estimation_tpu.train.checkpoint import load_checkpoint, load_torch_checkpoint
+
+    from inbed_pose_estimation_tpu.utils.assets_check import check_assets
+
+    # Hard-fail on missing parity-critical assets unless explicitly waived
+    # (synthetic fallbacks are for hermetic tests, not production metrics).
+    check_assets(
+        allow_synthetic=args.allow_synthetic_assets,
+        smpl_model_dir=config.SMPL_MODEL_DIR,
+        smpl_mean_params=config.SMPL_MEAN_PARAMS,
+        j_regressor_h36m=config.JOINT_REGRESSOR_H36M,
+    )
 
     model, spec = build_model(args.model, smpl_mean_params=config.SMPL_MEAN_PARAMS)
     smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
@@ -82,8 +103,15 @@ def main():
         "slp-4mod-cover2", "slp-4mod-uncover", "slp-4mod-cover1"
     ]
 
+    # Device preprocessing covers the modality-image families; fusion /
+    # Bodies-At-Rest eval needs host-side pm_contact/mask work.
+    use_device_pre = args.device_preprocess and spec.input_mode in ("concat", "multi")
+    if args.device_preprocess and not use_device_pre:
+        print(f"--device_preprocess ignored for input mode '{spec.input_mode}'")
+
     class _Opt:
         img_res = args.img_res
+        device_preprocess = use_device_pre
 
     for d in splits:
         ds = BaseDataset(_Opt(), d, is_train=False)
@@ -97,6 +125,7 @@ def main():
             log_freq=args.log_freq,
             num_cas_iters=args.num_cas_iters,
             eval_masks_enabled=not args.no_masks,
+            device_preprocess=use_device_pre,
         )
 
 

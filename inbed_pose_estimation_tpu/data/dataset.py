@@ -60,6 +60,9 @@ class BaseDataset:
         # order of magnitude faster host preprocessing than the PIL
         # bit-parity path, used when no rotation augmentation was drawn.
         self.fast_preprocess = bool(getattr(options, "fast_preprocess", False))
+        # Raw-decode mode: emit uint8 raw modalities + metadata only, for
+        # the fused device preprocess (eval driver --device_preprocess).
+        self.return_raw = bool(getattr(options, "device_preprocess", False)) and not is_train
         if self.fast_preprocess:
             from ..ops import native as _native
 
@@ -132,8 +135,10 @@ class BaseDataset:
         return flip, pn, rot, sc
 
     # -- per-modality processing (base_dataset.py:157-183), NHWC outputs ----
-    def _native_crop(self, img_u8, center, scale, flip, pn):
-        """Fused crop+resize+noise (+flip) via the C++ kernel, in [0, 1]."""
+    def _native_crop(self, img_u8, center, scale, flip, pn, rot=0.0):
+        """Fused crop+resize+rotate+noise (+flip) via the C++ kernel, in
+        [0, 1].  The rotation path means the fast lane covers 100% of the
+        train augmentation distribution."""
         C = img_u8.shape[-1]
         out = self._native.preprocess_batch(
             img_u8[None],
@@ -145,13 +150,15 @@ class BaseDataset:
             np.zeros(C, np.float32),
             np.ones(C, np.float32),
             num_threads=1,
+            rots=np.asarray([float(rot)], np.float32),
         )[0]
         return out
 
     def rgb_processing(self, rgb_img, center, scale, rot, flip, pn):
-        if self._native is not None and rot == 0:
+        if self._native is not None:
             return self._native_crop(
-                np.ascontiguousarray(rgb_img).astype(np.uint8), center, scale, flip, pn
+                np.ascontiguousarray(rgb_img).astype(np.uint8), center, scale, flip, pn,
+                rot=rot,
             )
         img = crop(rgb_img, center, scale, [self.img_res, self.img_res], rot=rot)
         img = img.astype(np.float32)
@@ -162,10 +169,10 @@ class BaseDataset:
         return img / 255.0  # [H, W, 3]
 
     def gray_processing(self, gray_img, center, scale, rot, flip, pn):
-        if self._native is not None and rot == 0:
+        if self._native is not None:
             return self._native_crop(
                 np.ascontiguousarray(gray_img).astype(np.uint8)[:, :, None],
-                center, scale, flip, pn,
+                center, scale, flip, pn, rot=rot,
             )
         img = crop(gray_img, center, scale, [self.img_res, self.img_res], rot=rot)
         img = img.astype(np.float32)
@@ -258,6 +265,38 @@ class BaseDataset:
             pose = np.zeros(72)
             betas = np.zeros(10)
 
+        if self.return_raw:
+            # Raw-decode mode for the fused device preprocess
+            # (data/device_preprocess.py): skip ALL host crop/normalize work
+            # and the uncover/mask reads — the eval driver runs crop+resize+
+            # normalize as one jit program per batch.  Eval-only (no
+            # augmentation geometry to replicate on device).
+            item["raw_img"] = img.astype(np.uint8)
+            item["raw_ir_img"] = ir_img.astype(np.uint8)[:, :, None]
+            item["raw_depth_img"] = depth_img.astype(np.uint8)[:, :, None]
+            item["raw_pm_img"] = pm_img.astype(np.uint8)[:, :, None]
+            item["pose"] = self.pose_processing(pose, rot, flip)
+            item["betas"] = betas.astype(np.float32)
+            item["imgname"] = imgname
+            if self.has_pose_3d:
+                item["pose_3d"] = self.j3d_processing(self.pose_3d[index].copy(), rot, flip)
+            else:
+                item["pose_3d"] = np.zeros((24, 4), np.float32)
+            item["keypoints"] = self.j2d_processing(
+                self.keypoints[index].copy(), center, sc * scale, rot, flip
+            )
+            item["has_smpl"] = np.float32(self.has_smpl[index])
+            item["has_pose_3d"] = np.float32(self.has_pose_3d)
+            item["scale"] = np.float32(sc * scale)
+            item["center"] = center.astype(np.float32)
+            item["orig_shape"] = orig_shape
+            item["is_flipped"] = np.float32(flip)
+            item["rot_angle"] = np.float32(rot)
+            item["gender"] = self.gender[index]
+            item["sample_index"] = index
+            item["dataset_name"] = self.dataset
+            return item
+
         img = self.rgb_processing(img, center, sc * scale, rot, flip, pn)
         ir_img = self.gray_processing(ir_img, center, sc * scale, rot, flip, pn)
         depth_img = self.gray_processing(depth_img, center, sc * scale, rot, flip, pn)
@@ -348,6 +387,14 @@ class MixedDataset:
         self.dataset = self.datasets[0]
         self.length = max(len(ds) for ds in self.datasets)
 
+        # Per-dataset fits layout: the FitsStore concatenates one [N_i, 82]
+        # block per source dataset (reference keys fits by (dataset, index),
+        # train/fits_dict.py:19-32), and items carry GLOBAL sample indices
+        # (block offset + local index) so mixture fits never collide.
+        self.fits_layout = [(name, len(ds)) for (name, _), ds in
+                            zip(self.partition, self.datasets)]
+        self.fits_offsets = np.cumsum([0] + [n for _, n in self.fits_layout])[:-1]
+
         # Cumulative partition boundaries over the virtual index space.
         bounds = np.cumsum([r for _, r in self.partition])
         self._bounds = bounds / bounds[-1]
@@ -357,7 +404,9 @@ class MixedDataset:
         ds_idx = int(np.searchsorted(self._bounds, frac, side="right"))
         ds_idx = min(ds_idx, len(self.datasets) - 1)
         ds = self.datasets[ds_idx]
-        return ds[index % len(ds)]
+        item = ds[index % len(ds)]
+        item["sample_index"] = int(self.fits_offsets[ds_idx]) + int(item["sample_index"])
+        return item
 
     def __len__(self):
         return self.length

@@ -27,16 +27,19 @@ def crop_resize(img: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray, res: 
     """Crop a (center, 200*scale) box and resize to res x res, bilinear.
 
     img: [H, W, C] float; center: [2] (x, y); scale: [] bbox scale.
+
+    Matches the host path's integer-snapped box (transforms.crop truncates
+    ul/br through `.astype(int)`): output pixel u maps to input
+    x = ul_x + (u + .5) * (br_x - ul_x) / res - .5, with ul/br floored like
+    the host — without the snap the device crop is sub-pixel shifted
+    against the host crop.
     """
     h = 200.0 * scale
-    # Output pixel u maps to input x = center - h/2 + (u + .5) * h / res.
-    sxy = jnp.stack([res / h, res / h])
-    txy = jnp.stack(
-        [
-            res * (0.5 - center[0] / h),
-            res * (0.5 - center[1] / h),
-        ]
-    )
+    ul = jnp.floor(center - h / 2.0)          # [2] (x, y), host's int trunc
+    br = jnp.floor(center + h / 2.0)
+    bw = jnp.maximum(br - ul, 1.0)            # box size per axis
+    sxy = res / bw
+    txy = -ul * res / bw
     return jax.image.scale_and_translate(
         img, (res, res, img.shape[-1]),
         spatial_dims=(1, 0),  # (x, y) scale/translation ordering
@@ -69,10 +72,15 @@ def make_device_preprocess(res: int = constants.IMG_RES):
         for key, (mean, std) in stats.items():
             if key not in raw:
                 continue
+            imgs = raw[key]
+            if imgs.dtype == jnp.uint8:
+                # uint8 H2D transfer (4x less PCIe/tunnel traffic); the
+                # [0,1] conversion fuses into the crop kernel.
+                imgs = imgs.astype(jnp.float32) / 255.0
             n = noise[:, :1] if key != "img" else noise
             out[key] = jax.vmap(
                 lambda im, c, s, f, pn, m=mean, sd=std: _apply_one(im, c, s, f, pn, m, sd, res)
-            )(raw[key], center, scale, flip, n)
+            )(imgs, center, scale, flip, n)
         return out
 
     return preprocess

@@ -32,8 +32,12 @@ def collate(samples: list[dict]) -> dict:
 
 
 class CheckpointDataLoader:
-    """Iterates batches with a stored permutation; drop_last=True like the
-    reference (utils/data_loader.py:40-58)."""
+    """Iterates batches with a stored permutation.
+
+    drop_last defaults True like the reference training loader
+    (utils/data_loader.py:40-58); evaluation passes drop_last=False so every
+    sample of the split is covered (the reference eval uses a plain
+    DataLoader with no drop_last, eval.py:94)."""
 
     def __init__(
         self,
@@ -44,11 +48,13 @@ class CheckpointDataLoader:
         checkpoint: Optional[dict] = None,
         seed: Optional[int] = None,
         prefetch: int = 2,
+        drop_last: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.drop_last = drop_last
 
         n = len(dataset)
         if checkpoint is not None and checkpoint.get("dataset_perm") is not None:
@@ -61,7 +67,10 @@ class CheckpointDataLoader:
         self._sample_rng = np.random.default_rng(None if seed is None else seed + 1)
 
     def __len__(self):
-        return len(self.dataset_perm) // self.batch_size
+        n = len(self.dataset_perm)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
 
     def _load_batch(self, indices) -> dict:
         if self.num_workers > 1:

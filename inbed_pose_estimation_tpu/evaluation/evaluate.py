@@ -70,6 +70,8 @@ def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model,
     )
     verts = np.asarray(preds["vertices"])
     recon = {k: np.asarray(v) for k, v in preds.get("recon", {}).items()}
+    if "img" not in batch:  # raw-decode (device-preprocess) mode
+        return
     imgs = np.asarray(batch["img"])
     mean = np.asarray(C.IMG_NORM_MEAN)
     std = np.asarray(C.IMG_NORM_STD)
@@ -116,6 +118,7 @@ def run_evaluation(
     log_freq: int = 50,
     num_cas_iters: int = 2,
     eval_masks_enabled: bool = True,
+    device_preprocess: bool = False,
 ) -> dict:
     """Evaluate MPJPE / PA-MPJPE / PVE (+ mask accuracy/F1) on a split.
 
@@ -171,39 +174,75 @@ def run_evaluation(
         )
     jm_gt = np.asarray(constants.J24_TO_J17)
 
+    # drop_last=False: every sample of the split is evaluated, like the
+    # reference's plain DataLoader (eval.py:94).  The tail batch is padded
+    # back up to batch_size (repeating the last sample) so the jitted
+    # inference program never sees a new shape; padded rows are sliced off
+    # before touching any accumulator.
     loader = CheckpointDataLoader(
-        dataset, batch_size=batch_size, shuffle=shuffle, num_workers=num_workers
+        dataset, batch_size=batch_size, shuffle=shuffle, num_workers=num_workers,
+        drop_last=False,
     )
     gt_vertices_fn = jax.jit(lambda betas, pose: smpl_forward(smpl_model, betas, pose_aa=pose).vertices)
     mask_fn = jax.jit(lambda verts, cam: render_body_mask(verts, cam, img_res=img_res))
     pa_fn = jax.jit(lambda a, b: reconstruction_error(a, b, reduction=None))
 
+    # Fused on-device preprocessing (BASELINE north star): the dataset
+    # emits raw uint8 modalities (BaseDataset.return_raw) and crop+resize+
+    # normalize run as one jit program per batch instead of per-sample host
+    # PIL work.  Only meaningful for the modality-image families.
+    use_device_pre = device_preprocess and spec.input_mode in ("concat", "multi")
+    pre_fn = None
+    if use_device_pre:
+        from ..data.device_preprocess import make_device_preprocess
+
+        pre_fn = make_device_preprocess(res=img_res)
+
     for step, batch in loader:
-        bs = batch["img"].shape[0]
+        bs = batch["imgname"].__len__() if "imgname" in batch else batch[
+            next(iter(batch))].shape[0]
         lo = step * batch_size
         hi = lo + bs
         feed_keys = list(spec.modalities)
         if spec.input_mode == "pm_contact":
             feed_keys.append("pm_contact")
-        inputs = tuple(jnp.asarray(batch[k]) for k in feed_keys)
+        dev_batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if bs < batch_size:
+            from ..parallel import pad_to_multiple
+
+            dev_batch, _ = pad_to_multiple(dev_batch, batch_size)
+        if pre_fn is not None:
+            pre_bs = next(iter(dev_batch.values())).shape[0]
+            processed = pre_fn(
+                {k: jnp.asarray(dev_batch["raw_" + k]) for k in spec.modalities
+                 if "raw_" + k in dev_batch},
+                jnp.asarray(dev_batch["center"], jnp.float32),
+                jnp.asarray(dev_batch["scale"], jnp.float32),
+                jnp.zeros(pre_bs, jnp.float32),
+                jnp.ones((pre_bs, 3), jnp.float32),
+            )
+            dev_batch.update(processed)
+        inputs = tuple(jnp.asarray(dev_batch[k]) for k in feed_keys)
         preds = infer(variables, inputs)
 
         if eval_pose:
-            gt_kp3d = batch["pose_3d"][:, jm_gt, :3]
+            gt_kp3d = dev_batch["pose_3d"][:, jm_gt, :3]
             pred17 = preds["keypoints_3d_17"]
             err = np.asarray(
                 jnp.sqrt(jnp.sum((pred17 - gt_kp3d) ** 2, axis=-1)).mean(axis=-1)
             )
-            mpjpe[lo:hi] = err
-            recon_err[lo:hi] = np.asarray(pa_fn(pred17, jnp.asarray(gt_kp3d)))
+            mpjpe[lo:hi] = err[:bs]
+            recon_err[lo:hi] = np.asarray(pa_fn(pred17, jnp.asarray(gt_kp3d)))[:bs]
 
             # PVE vs GT SMPL mesh when GT pose/shape exist.
             if np.any(batch["has_smpl"] > 0):
-                gt_verts = gt_vertices_fn(jnp.asarray(batch["betas"]), jnp.asarray(batch["pose"]))
+                gt_verts = gt_vertices_fn(
+                    jnp.asarray(dev_batch["betas"]), jnp.asarray(dev_batch["pose"])
+                )
                 pv = np.asarray(
                     jnp.sqrt(jnp.sum((preds["vertices"] - gt_verts) ** 2, axis=-1)).mean(axis=-1)
                 )
-                pve[lo:hi] = pv * np.asarray(batch["has_smpl"] > 0, np.float32)
+                pve[lo:hi] = pv[:bs] * np.asarray(batch["has_smpl"] > 0, np.float32)
 
         if eval_masks:
             masks = np.asarray(mask_fn(preds["vertices"], preds["cam"]))[..., 0]
@@ -266,10 +305,10 @@ def run_evaluation(
                 parts_pixel_count += int(np.prod(gt_parts.shape))
 
         if save_results:
-            smpl_pose[lo:hi] = np.asarray(preds["rotmat"])
-            smpl_betas[lo:hi] = np.asarray(preds["betas"])
-            smpl_camera[lo:hi] = np.asarray(preds["cam"])
-            pred_joints_out[lo:hi] = np.asarray(preds["keypoints_3d_17"])
+            smpl_pose[lo:hi] = np.asarray(preds["rotmat"])[:bs]
+            smpl_betas[lo:hi] = np.asarray(preds["betas"])[:bs]
+            smpl_camera[lo:hi] = np.asarray(preds["cam"])[:bs]
+            pred_joints_out[lo:hi] = np.asarray(preds["keypoints_3d_17"])[:bs]
             # Artifact dumps for manual inspection (reference eval.py:294-378):
             # recovered modality images + mesh overlays.
             _save_artifacts(

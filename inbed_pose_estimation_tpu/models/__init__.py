@@ -1,6 +1,6 @@
 from .hmr import HMRCore, HMROutput, MultiTrunkCore, concat_modalities
 from .bodies_at_rest import BodiesAtRest
-from .fusion import FusionOutput, TwoStageFusion
+from .fusion import FrozenGuidedFusion, FusionOutput, TwoStageFusion
 from .cascade import cascade_apply
 from .factory import ModelSpec, build_model, get_spec, model_names
 
@@ -10,6 +10,7 @@ __all__ = [
     "MultiTrunkCore",
     "concat_modalities",
     "BodiesAtRest",
+    "FrozenGuidedFusion",
     "FusionOutput",
     "TwoStageFusion",
     "cascade_apply",

@@ -7,9 +7,16 @@ deliberate TPU choices, not behavioral changes:
   * NHWC layout (XLA:TPU's native conv layout — avoids transposes),
   * a single parameterized trunk shared by every model in the zoo,
   * optional bfloat16 compute dtype with float32 params/statistics,
-  * BatchNorm momentum/eps matched to torch defaults (0.9 / 1e-5) and kept
-    per-replica under data parallelism to preserve the reference's
-    DataParallel-BN semantics (SURVEY.md §2.3).
+  * BatchNorm momentum/eps matched to torch defaults (0.9 / 1e-5).  Under
+    data parallelism the batch-mean/var reductions are GLOBAL (sync-BN):
+    the train step is jit-ed over the batch-sharded input, so flax BN's
+    `mean over axis 0` lowers to a cross-device psum under GSPMD.  This is
+    a deliberate departure from the reference's per-replica DataParallel-BN
+    (SURVEY.md §2.3): sync-BN makes training numerics INDEPENDENT of device
+    count (1-chip and 8-chip runs match bit-for-bit — pinned by
+    tests/test_train_step.py::test_sync_bn_device_count_equivalence),
+    whereas per-shard stats would change with the mesh size.  Inference/eval
+    uses running statistics and is unaffected either way.
 
 Returns the full skip pyramid (x0..x4) used by the Reconstruct decoders.
 """

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..smpl.assets import mean_params
 from .bodies_at_rest import BodiesAtRest
-from .fusion import TwoStageFusion
+from .fusion import FrozenGuidedFusion, TwoStageFusion
 from .hmr import HMRCore, MultiTrunkCore
 
 # How the driver assembles the network input from the per-modality batch:
@@ -86,10 +86,14 @@ _SPECS = {
     "ir_pm_fusion": ModelSpec("ir_pm_fusion", "fusion", MODALITY_SETS["ir_pm"]),
     "rgb_depth_fusion": ModelSpec("rgb_depth_fusion", "fusion", MODALITY_SETS["rgb_depth"]),
     "rgb_pm_fusion": ModelSpec("rgb_pm_fusion", "fusion", MODALITY_SETS["rgb_pm"]),
+    # Frozen-guided pipelines: a pretrained ir_depth_fusion runs frozen
+    # in-graph, its recovered ir/depth + pose warm-start feed the 5-ch
+    # second stage (reference train/trainer.py:30-46,440-446,
+    # models/hmr.py:1949-2072).
     "ir_depth_pm_fusion": ModelSpec("ir_depth_pm_fusion", "fusion", MODALITY_SETS["ir_depth_pm"]),
-    # Registered but broken in the reference (strict=Ture NameError at
-    # train/trainer.py:34 + wrong super(); SURVEY.md §2.2): mapped to a
-    # working 4-modality two-stage fusion.
+    # The rgb chain follows the reference class's intent (input_dim=6,
+    # models/hmr.py:2215); its torch implementation cannot run (wrong-class
+    # super() + strict=Ture NameError at train/trainer.py:34).
     "ir_depth_pm_rgb_fusion": ModelSpec(
         "ir_depth_pm_rgb_fusion", "fusion",
         ("ir_img", "depth_img", "pm_img", "img"),
@@ -126,6 +130,8 @@ def build_model(
       featcat_cashmr -> MultiTrunkCore(4) + depth decoder
       featatt_cashmr -> MultiTrunkCore(4, cross_attention) + depth decoder
       *_fusion -> TwoStageFusion (mask-gated appearance recovery, 2 HMR passes)
+      ir_depth_pm_fusion / ir_depth_pm_rgb_fusion -> FrozenGuidedFusion
+        (frozen pretrained ir_depth_fusion guide + warm-started 5/6-ch stage)
       bodiesAtRest(4mod) -> BodiesAtRest CNN
     """
     spec = get_spec(name)
@@ -149,17 +155,21 @@ def build_model(
             **mean_kw,
         )
     elif spec.input_mode == "fusion":
-        recover, slots = {
-            "ir_depth_fusion": (("ir", "depth"), (0, 1)),
-            "ir_pm_fusion": (("ir", "pm"), (0, 1)),
-            "rgb_depth_fusion": (("depth",), (1,)),
-            "rgb_pm_fusion": (("pm",), (1,)),
-            "ir_depth_pm_fusion": (("ir", "depth"), (0, 1)),
-            "ir_depth_pm_rgb_fusion": (("ir", "depth"), (0, 1)),
-        }[name]
-        module = TwoStageFusion(
-            recover_heads=recover, recover_slots=slots, n_iter=n_iter, dtype=dtype, **mean_kw
-        )
+        if name in ("ir_depth_pm_fusion", "ir_depth_pm_rgb_fusion"):
+            module = FrozenGuidedFusion(
+                with_rgb=(name == "ir_depth_pm_rgb_fusion"),
+                n_iter=n_iter, dtype=dtype, **mean_kw,
+            )
+        else:
+            recover, slots = {
+                "ir_depth_fusion": (("ir", "depth"), (0, 1)),
+                "ir_pm_fusion": (("ir", "pm"), (0, 1)),
+                "rgb_depth_fusion": (("depth",), (1,)),
+                "rgb_pm_fusion": (("pm",), (1,)),
+            }[name]
+            module = TwoStageFusion(
+                recover_heads=recover, recover_slots=slots, n_iter=n_iter, dtype=dtype, **mean_kw
+            )
     elif spec.input_mode == "pm_contact":
         in_ch = {"bodiesAtRest": 3, "bodiesAtRest4mod": 8}[name]
         module = BodiesAtRest(mod1_input_dim=in_ch, mod2_input_dim=in_ch + 1, dtype=dtype, **mean_kw)

@@ -18,7 +18,7 @@ incl. LBS compiles into one XLA program.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -98,6 +98,9 @@ class TwoStageFusion(nn.Module):
         inputs: Sequence[jnp.ndarray],
         smpl_model: SMPLModel,
         train: bool = False,
+        init_pose: Optional[jnp.ndarray] = None,
+        init_shape: Optional[jnp.ndarray] = None,
+        init_cam: Optional[jnp.ndarray] = None,
     ) -> FusionOutput:
         x = jnp.concatenate(list(inputs), axis=-1)
         B, H = x.shape[0], x.shape[1]
@@ -112,8 +115,14 @@ class TwoStageFusion(nn.Module):
             name="encoder",
         )
 
-        # Stage 1.
-        out1 = encoder(x, train=train)
+        # Stage 1 (IEF warm-startable: the frozen-guided pipelines seed it
+        # with the guide model's prediction, reference models/hmr.py:2050-2051;
+        # stage 2 always starts from the mean params like the reference's
+        # un-warm-started encoder_1 second call, models/hmr.py:1783).
+        out1 = encoder(
+            x, init_pose=init_pose, init_shape=init_shape, init_cam=init_cam,
+            train=train,
+        )
         x0, _, _, _, x4 = out1.pyramid
 
         # Body mask from stage-1 SMPL estimate (stop-gradient like the
@@ -147,3 +156,85 @@ class TwoStageFusion(nn.Module):
         out2 = encoder(jnp.concatenate(stage2_parts, axis=-1), train=train)
 
         return FusionOutput(stage1=out1, stage2=out2, recovered=recovered, mask=mask)
+
+
+class FrozenGuidedFusion(nn.Module):
+    """The ir_depth_pm_fusion / ir_depth_pm_rgb_fusion *pipelines*.
+
+    Faithful re-composition of the reference (train/trainer.py:30-46,
+    440-446; models/hmr.py:1949-2072): a pretrained, FROZEN ir_depth_fusion
+    ("guide") runs on the raw (ir, depth) pair under no_grad; its recovered
+    uncovered-appearance ir/depth images become the first two input slots of
+    a 5-channel second-stage fusion model ("main"), and its stage-2
+    pose/shape/camera predictions warm-start the main model's IEF.
+
+    TPU-native design: both submodels live in one variables tree and the
+    whole pipeline compiles as a single XLA program — the freeze is
+    `stop_gradient` on every guide output (so guide grads are exactly zero
+    and Adam leaves its params untouched), plus train=False on the guide so
+    its BN uses running statistics and never updates.  The pretrained guide
+    weights are grafted under params["guide"] (Trainer
+    --pretrained_fusion_checkpoint; checkpoint.py converts reference
+    ir_depth_fusion .pt files including the recovery decoders).
+
+    main-model input layout (reference trainer.py:440-446):
+        ir_depth_pm_fusion:      [ir_rec, depth_rec, pm, ir, depth]  (5 ch)
+        ir_depth_pm_rgb_fusion:  [ir_rec, depth_rec, pm, rgb]        (6 ch)
+    The rgb variant follows the reference class's *intent* (input_dim=6,
+    models/hmr.py:2215) — its torch implementation crashes (wrong-class
+    super(), strict=Ture at trainer.py:34) so there is no behavior to match.
+    """
+
+    mean_pose: Tuple[float, ...]
+    mean_shape: Tuple[float, ...]
+    mean_cam: Tuple[float, ...]
+    with_rgb: bool = False   # ir_depth_pm_rgb_fusion main-input layout
+    n_iter: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Sequence[jnp.ndarray],
+        smpl_model: SMPLModel,
+        train: bool = False,
+    ) -> FusionOutput:
+        # inputs: (ir, depth, pm) or (ir, depth, pm, rgb).
+        ir, depth, pm = inputs[0], inputs[1], inputs[2]
+
+        guide = TwoStageFusion(
+            mean_pose=self.mean_pose,
+            mean_shape=self.mean_shape,
+            mean_cam=self.mean_cam,
+            recover_heads=("ir", "depth"),
+            recover_slots=(0, 1),
+            n_iter=self.n_iter,
+            dtype=self.dtype,
+            name="guide",
+        )
+        # Frozen forward: eval-mode BN, outputs gradient-stopped (the
+        # reference's `with torch.no_grad()` around the pretrained model).
+        gout = guide((ir, depth), smpl_model, train=False)
+        gout = jax.tree_util.tree_map(jax.lax.stop_gradient, gout)
+
+        if self.with_rgb:
+            main_inputs = (gout.recovered["ir"], gout.recovered["depth"], pm, inputs[3])
+        else:
+            main_inputs = (gout.recovered["ir"], gout.recovered["depth"], pm, ir, depth)
+
+        main = TwoStageFusion(
+            mean_pose=self.mean_pose,
+            mean_shape=self.mean_shape,
+            mean_cam=self.mean_cam,
+            recover_heads=("ir", "depth"),
+            recover_slots=(0, 1),
+            n_iter=self.n_iter,
+            dtype=self.dtype,
+            name="main",
+        )
+        return main(
+            main_inputs, smpl_model, train=train,
+            init_pose=gout.stage2.pose6d,
+            init_shape=gout.stage2.betas,
+            init_cam=gout.stage2.cam,
+        )

@@ -68,23 +68,28 @@ def preprocess_batch(
     mean: np.ndarray,
     std: np.ndarray,
     num_threads: int = 0,
+    rots: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Fused crop+resize+noise+normalize for a uint8 NHWC batch.
+    """Fused crop+resize+rotate+noise+normalize for a uint8 NHWC batch.
 
     images: [B, H, W, C] uint8; centers [B, 2]; scales [B]; flips [B];
-    noise [B, 3].  Returns [B, res, res, C] float32.
+    noise [B, 3]; rots [B] degrees (None = no rotation).
+    Returns [B, res, res, C] float32.
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native preprocess library unavailable (no g++?)")
     images = np.ascontiguousarray(images, np.uint8)
     B, H, W, C = images.shape
+    if rots is None:
+        rots = np.zeros(B, np.float32)
     specs = np.concatenate(
         [
             np.asarray(centers, np.float32).reshape(B, 2),
             np.asarray(scales, np.float32).reshape(B, 1),
             np.asarray(flips, np.float32).reshape(B, 1),
             np.asarray(noise, np.float32).reshape(B, 3),
+            np.asarray(rots, np.float32).reshape(B, 1),
         ],
         axis=1,
     ).astype(np.float32)

@@ -26,6 +26,7 @@ struct CropSpec {
   float scale;               // bbox height = 200 * scale
   int flip;                  // mirror horizontally after crop
   float noise[3];            // per-channel gain, clamped to [0, 255]
+  float rot_deg;             // in-plane rotation (augmentation degrees)
 };
 
 // Bilinear sample with zero padding outside the source image.
@@ -55,13 +56,19 @@ void ProcessOne(const uint8_t* src, int src_h, int src_w, int channels,
                 const float* std_dev, float* dst) {
   const float box = 200.f * spec.scale;
   const float step = box / res;
-  const float x_origin = spec.center_x - box * 0.5f;
-  const float y_origin = spec.center_y - box * 0.5f;
+  // Rotation path: the crop affine rotates output coordinates about the
+  // crop center before the linear map (the inverse of
+  // transforms.get_transform's Tc^-1 R(-rot) Tc composition), so the fast
+  // lane covers the full train augmentation distribution, not just rot==0.
+  const float phi = spec.rot_deg * 3.14159265358979323846f / 180.f;
+  const float cs = std::cos(phi), sn = std::sin(phi);
   for (int oy = 0; oy < res; ++oy) {
-    const float sy = y_origin + (oy + 0.5f) * step - 0.5f;
+    const float dv = (oy + 0.5f - 0.5f * res) * step;
     for (int ox = 0; ox < res; ++ox) {
       const int out_x = spec.flip ? (res - 1 - ox) : ox;
-      const float sx = x_origin + (ox + 0.5f) * step - 0.5f;
+      const float du = (ox + 0.5f - 0.5f * res) * step;
+      const float sx = spec.center_x + cs * du - sn * dv - 0.5f;
+      const float sy = spec.center_y + sn * du + cs * dv - 0.5f;
       float* out_px = dst + (oy * res + out_x) * channels;
       for (int ch = 0; ch < channels; ++ch) {
         float v = SampleBilinear(src, src_h, src_w, channels, ch, sx, sy);
@@ -76,9 +83,9 @@ void ProcessOne(const uint8_t* src, int src_h, int src_w, int channels,
 
 extern "C" {
 
-// Batch crop+resize+noise+normalize.
+// Batch crop+resize+rotate+noise+normalize.
 //  src:      B contiguous uint8 images [src_h, src_w, channels]
-//  specs:    B * 7 floats (center_x, center_y, scale, flip, noise0..2)
+//  specs:    B * 8 floats (center_x, center_y, scale, flip, noise0..2, rot)
 //  mean/std: per-channel normalization
 //  dst:      [B, res, res, channels] float32 (caller-allocated)
 void preprocess_batch(const uint8_t* src, int batch, int src_h, int src_w,
@@ -92,7 +99,7 @@ void preprocess_batch(const uint8_t* src, int batch, int src_h, int src_w,
       int i = next.fetch_add(1);
       if (i >= batch) return;
       CropSpec spec;
-      const float* s = specs + i * 7;
+      const float* s = specs + i * 8;
       spec.center_x = s[0];
       spec.center_y = s[1];
       spec.scale = s[2];
@@ -100,6 +107,7 @@ void preprocess_batch(const uint8_t* src, int batch, int src_h, int src_w,
       spec.noise[0] = s[4];
       spec.noise[1] = s[5];
       spec.noise[2] = s[6];
+      spec.rot_deg = s[7];
       ProcessOne(src + static_cast<int64_t>(i) * src_h * src_w * channels,
                  src_h, src_w, channels, spec, res, mean, std_dev,
                  dst + static_cast<int64_t>(i) * res * res * channels);

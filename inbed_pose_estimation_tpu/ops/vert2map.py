@@ -43,7 +43,11 @@ def vert2map(
     z = verts_taxel[..., 2]
 
     valid = (x >= 0) & (x < width) & (y >= 0) & (y < height)
-    flat = jnp.where(valid, y * width + x, -1)
+    # OOB sentinel is `size` (one past the end), NOT -1: negative indices
+    # WRAP in jnp scatter and would silently paint the row's far edge; the
+    # out-of-range sentinel is dropped by mode="drop" (same idiom as
+    # ops/mask_raster.py / render/part_renderer.py).
+    flat = jnp.where(valid, y * width + x, height * width)
     bidx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, V))
 
     # Min depth per taxel.

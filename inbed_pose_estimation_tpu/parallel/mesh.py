@@ -10,8 +10,12 @@ resident and XLA inserts psum collectives for gradient reduction under jit.
 Multi-host scale-out uses the same mesh spanning hosts after
 `jax.distributed.initialize` (DCN); nothing else changes.
 
-BatchNorm statistics stay per-shard (no cross-replica pmean), matching the
-reference's DataParallel-BN semantics exactly (SURVEY.md §2.3).
+BatchNorm under this mesh is sync-BN by construction: the jitted train step
+sees the full (sharded) batch, so BN's batch reductions compile to global
+cross-device psums.  Chosen deliberately over the reference's per-replica
+DataParallel-BN so training numerics do not depend on the device count
+(see models/backbone.py docstring and
+tests/test_train_step.py::test_sync_bn_device_count_equivalence).
 """
 
 from __future__ import annotations

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Chip-efficiency profiler: MFU estimate + batch-size sweep for the
+flagship inference and train-step programs.
+
+The profiling subsystem exists (utils/profiling.py) — this driver uses it to
+answer "how close to the hardware ceiling is the flagship graph?" honestly:
+  * FLOPs come from XLA's own cost model (compiled.cost_analysis()), with a
+    closed-form fallback for platforms whose PJRT plugin doesn't expose it;
+  * time comes from per-iteration host fetches (on the axon remote platform
+    block_until_ready on one buffer does NOT imply earlier dispatches
+    finished — see bench.py);
+  * MFU = achieved FLOP/s over the chip's bf16 peak.
+
+Run:  python -m inbed_pose_estimation_tpu.tools.profile_mfu [--train]
+Writes one JSON line per configuration; summarize into PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# bf16 peak matmul throughput per chip, by platform guess.
+PEAK_FLOPS = {
+    "tpu v5e": 197e12,
+    "tpu v5 lite": 197e12,
+    "tpu v4": 275e12,
+    "tpu v6e": 918e12,
+    "cpu": 1e11,  # nominal, so MFU stays defined in CPU smoke runs
+}
+
+
+def guess_peak() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_FLOPS.items():
+        if key.replace("tpu ", "") in kind or key == kind:
+            return val
+    return 197e12
+
+
+def _flops_from_cost_analysis(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _analytic_inference_flops(batch: int, res: int, num_cas: int) -> float:
+    """Closed-form fallback: ResNet-50 fwd ~= 4.1 GFLOP per 224^2 3ch image
+    (scales with res^2); the 6ch stem adds ~2%; decoder ~= 3.4 GFLOP; LBS
+    ~= 2 * 6890 * (4*10 + 24*12) GFLOP-ish (negligible)."""
+    scale = (res / 224.0) ** 2
+    per_image = (4.1e9 + 3.4e9) * scale
+    stages = num_cas  # decoder lazily skipped on the last stage, keep as upper bound
+    return batch * per_image * stages
+
+
+def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from ..evaluation.evaluate import load_j_regressor_h36m
+    from ..evaluation.pipeline import make_inference_fn
+    from ..models import build_model
+    from ..smpl import synthetic_smpl_model
+
+    model, spec = build_model("cashmrV2", dtype=jnp.bfloat16)
+    smpl_model = synthetic_smpl_model(seed=0)
+    rng = np.random.default_rng(0)
+    inputs = tuple(
+        jnp.asarray(rng.normal(0, 1, (batch, res, res, {"img": 3}.get(m, 1))).astype(np.float32))
+        for m in spec.modalities
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.concatenate(inputs, axis=-1))
+    fn = make_inference_fn(
+        model, spec, smpl_model,
+        j_regressor_h36m=load_j_regressor_h36m(num_vertices=smpl_model.v_template.shape[0]),
+        num_cas_iters=num_cas, final_recon=False,
+    )
+    jitted = jax.jit(fn)
+    lowered = jitted.lower(variables, inputs)
+    compiled = lowered.compile()
+    flops = _flops_from_cost_analysis(compiled)
+    flops_src = "xla_cost_analysis"
+    if flops is None:
+        flops = _analytic_inference_flops(batch, res, num_cas)
+        flops_src = "analytic"
+
+    out = jitted(variables, inputs)
+    float(jnp.sum(out["cam"]))
+    acc, pending = 0.0, None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jitted(variables, inputs)
+        if pending is not None:
+            acc += float(jnp.sum(pending))
+        pending = out["cam"]
+    acc += float(jnp.sum(pending))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(acc)
+
+    peak = guess_peak()
+    return {
+        "what": "cashmrV2 inference",
+        "batch": batch,
+        "res": res,
+        "step_ms": round(dt * 1000, 2),
+        "images_per_sec": round(batch / dt, 1),
+        "gflops_per_step": round(flops / 1e9, 1),
+        "flops_source": flops_src,
+        "achieved_tflops": round(flops / dt / 1e12, 2),
+        "mfu": round(flops / dt / peak, 4),
+        "device": __import__("jax").devices()[0].device_kind,
+    }
+
+
+def capture_trace(logdir: str, batch: int = 32, res: int = 224):
+    """xprof trace of a few inference steps (view with tensorboard)."""
+    import jax
+
+    from ..utils.profiling import trace
+
+    with trace(logdir):
+        profile_inference(batch, res, iters=3)
+    return logdir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="32,64,128,256")
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trace_dir", default=None,
+                    help="Also capture a jax.profiler trace here")
+    args = ap.parse_args()
+    for b in [int(x) for x in args.batches.split(",")]:
+        print(json.dumps(profile_inference(b, args.res, iters=args.iters)))
+    if args.trace_dir:
+        capture_trace(args.trace_dir, res=args.res)
+        print(json.dumps({"trace": args.trace_dir}))
+
+
+if __name__ == "__main__":
+    main()

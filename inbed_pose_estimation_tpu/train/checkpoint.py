@@ -105,6 +105,51 @@ def load_checkpoint(path: str) -> Tuple[Any, Dict[str, np.ndarray], dict]:
 
 
 # ---------------------------------------------------------------------------
+# Optimizer-state serialization
+# ---------------------------------------------------------------------------
+#
+# The reference persists the full Adam state dict in every checkpoint and
+# restores it on resume (reference: utils/saver.py:24-42,
+# utils/base_trainer.py:28-36).  The optax state is an arbitrary pytree
+# (for adam: (ScaleByAdamState(count, mu, nu), EmptyState)), so we store its
+# leaves positionally and rebuild against a freshly-initialized template —
+# the treedef is always reconstructible from tx.init(params).
+
+def flatten_opt_state(opt_state: Any) -> Dict[str, np.ndarray]:
+    """Flatten an optax state pytree to positional numpy leaves."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {f"leaf_{i:05d}": np.asarray(jax.device_get(l)) for i, l in enumerate(leaves)}
+
+
+def restore_opt_state(template: Any, opt_flat: Dict[str, np.ndarray]) -> Optional[Any]:
+    """Rebuild an optax state from flattened leaves.
+
+    `template` must be tx.init(params) for the same optimizer and parameter
+    shapes.  Returns None (caller keeps the fresh template) when the stored
+    leaves don't match — e.g. a weights-only checkpoint or a changed model.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not opt_flat:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    keys = sorted(opt_flat)
+    if len(keys) != len(leaves):
+        return None
+    loaded = []
+    for k, t in zip(keys, leaves):
+        arr = np.asarray(opt_flat[k])
+        t_arr = np.asarray(t)
+        if arr.shape != t_arr.shape:
+            return None
+        loaded.append(jnp.asarray(arr, dtype=t_arr.dtype))
+    return jax.tree_util.tree_unflatten(treedef, loaded)
+
+
+# ---------------------------------------------------------------------------
 # PyTorch .pt -> flax conversion (HMRCore family)
 # ---------------------------------------------------------------------------
 
@@ -127,7 +172,59 @@ _BLOCKS = {1: 3, 2: 4, 3: 6, 4: 3}
 _TRUNK_BY_MOD = {"rgb": "trunk0", "ir": "trunk1", "depth": "trunk2", "pm": "trunk3"}
 
 
-def _map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
+def _map_fusion_decoder_key(parts) -> Optional[Tuple[Tuple[str, ...], str, str]]:
+    """Fusion-model recovery decoders (reference models/hmr.py:1643-1673 /
+    1962-1991): dec1 (feature upsampler) and dec{IR,Depth,PM}{2,3}
+    (mask-gated recovery heads) -> our _FeatUp / _RecoverHead submodules,
+    which mirror their structure exactly."""
+
+    def bn_leaf(suffix: str) -> Tuple[str, str]:
+        return {
+            "weight": ("scale", "params"),
+            "bias": ("bias", "params"),
+            "running_mean": ("mean", "batch_stats"),
+            "running_var": ("var", "batch_stats"),
+        }[suffix]
+
+    def conv_leaf(suffix: str) -> str:
+        return "kernel" if suffix == "weight" else "bias"
+
+    def resblock(base, body_idx, suffix):
+        name = {"0": "conv0", "1": "bn0", "3": "conv1", "4": "bn1"}[body_idx]
+        if name.startswith("conv"):
+            return base + (name,), conv_leaf(suffix), "params"
+        leaf, coll = bn_leaf(suffix)
+        return base + (name,), leaf, coll
+
+    if parts[0] == "dec1":
+        # Sequential: conv @ 0,2,4,6; PixelShuffle (no params) between.
+        idx = int(parts[1])
+        if idx % 2 == 0:
+            return ("feat_up", f"conv{idx // 2}"), conv_leaf(parts[2]), "params"
+        return None
+    m = re.match(r"dec(IR|Depth|PM)([23])$", parts[0])
+    if m:
+        head = {"IR": "ir", "Depth": "depth", "PM": "pm"}[m.group(1)]
+        stage = m.group(2)
+        base = (f"recover_{head}",)
+        if stage == "2":  # Sequential: 0 strided conv, 1 ResBlock
+            if parts[1] == "0":
+                return base + ("down",), conv_leaf(parts[2]), "params"
+            if parts[1] == "1":
+                return resblock(base + ("res_in",), parts[3], parts[4])
+        else:  # stage 3: 0 mix conv, 1 ResBlock, 2 PixelShuffle, 3 proj conv
+            if parts[1] == "0":
+                return base + ("mix",), conv_leaf(parts[2]), "params"
+            if parts[1] == "1":
+                return resblock(base + ("res_mix",), parts[3], parts[4])
+            if parts[1] == "3":
+                return base + ("proj",), conv_leaf(parts[2]), "params"
+    return None
+
+
+def _map_torch_key(
+    key: str, fusion_decoders: bool = False
+) -> Optional[Tuple[Tuple[str, ...], str, str]]:
     """Map a reference state-dict key to (flax path, leaf, collection).
 
     Handles the HMRCore family directly, plus two structural prefixes:
@@ -135,12 +232,18 @@ def _map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
         models/hmr.py:1639) -> nested under our ("encoder",) module;
       * `feat_extraction_<mod>.` (multi-trunk models) -> trunk<i> with the
         trunk-internal stem/stage names.
+    `fusion_decoders` switches dec1/decIR*/decDepth*/decPM* to the
+    fusion-recovery-decoder layout (they collide with RECHMR's inline
+    decDepth* names but have a different structure; callers set the flag
+    when the state dict contains an `encoder_1.` prefix).
     Returns None for keys with no flax counterpart (mean-param buffers,
-    BN num_batches_tracked, recovery decoders whose architecture we
-    re-designed).
+    BN num_batches_tracked).
     """
     if key.endswith("num_batches_tracked") or key.startswith(("init_pose", "init_shape", "init_cam")):
         return None
+
+    if fusion_decoders and key.split(".")[0].startswith(("dec1", "decIR", "decDepth", "decPM")):
+        return _map_fusion_decoder_key(key.split("."))
 
     # Fusion models: shared encoder prefix.
     if key.startswith("encoder_1."):
@@ -200,6 +303,12 @@ def _map_torch_key(key: str) -> Optional[Tuple[Tuple[str, ...], str, str]]:
         leaf = "kernel" if parts[1] == "weight" else "bias"
         return ("head", parts[0]), leaf, "params"
 
+    # RECHMR inlines its depth decoder as top-level decDepth* attributes
+    # (reference models/hmr.py:506-533) with the exact Reconstruct(num_feat=1)
+    # structure — route through the Reconstruct_depth mapping.
+    if parts[0].startswith("decDepth"):
+        return _map_torch_key("Reconstruct_depth." + key)
+
     # Decoder(s): Reconstruct_depth / Reconstruct_ir / Reconstruct_pm.
     m = re.match(r"Reconstruct_(\w+)$", parts[0])
     if m:
@@ -252,11 +361,16 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any
     prefixes (utils/saver.py checkpoint layout).
     """
     variables: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    # A fusion-family checkpoint is recognized by its shared-encoder prefix;
+    # its dec* keys are recovery decoders, not RECHMR's inline Reconstruct.
+    fusion = any(
+        k.startswith(("encoder_1.", "module.encoder_1.")) for k in state_dict
+    )
     for key, val in state_dict.items():
         if key.startswith("module."):
             key = key[len("module."):]
         arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
-        mapped = _map_torch_key(key)
+        mapped = _map_torch_key(key, fusion_decoders=fusion)
         if mapped is None:
             continue
         path, leaf, coll = mapped
@@ -269,8 +383,71 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any
     return variables
 
 
-def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], dict]:
-    """Load a reference .pt checkpoint file and convert the model weights."""
+def _is_torch_param_key(key: str) -> bool:
+    """True for state-dict keys that are trainable parameters (not buffers).
+
+    Buffers in the reference model family are BatchNorm running stats /
+    counters and the mean-param IEF init buffers (reference:
+    models/hmr.py:175-181); everything else is a parameter.
+    """
+    k = key[len("module."):] if key.startswith("module.") else key
+    if k.endswith(("num_batches_tracked", "running_mean", "running_var")):
+        return False
+    leaf = k.rsplit(".", 1)[-1]
+    return not leaf.startswith(("init_pose", "init_shape", "init_cam"))
+
+
+def convert_torch_adam_state(
+    model_state: Dict[str, Any], optimizer_state: Dict[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any], int]:
+    """torch Adam state dict -> (mu tree, nu tree, step count).
+
+    torch keys optimizer state by the parameter's integer position in
+    param_groups, which (for `Adam(model.parameters())` as the reference
+    constructs it, train/trainer.py:44-46) is the parameter subset of the
+    state dict in order.  exp_avg/exp_avg_sq get the same layout transposes
+    as the weights, so the returned trees are shaped like our flax params
+    and can be grafted onto ScaleByAdamState.mu/.nu.
+    """
+    param_keys = [k for k in model_state if _is_torch_param_key(k)]
+    ids = [i for g in optimizer_state.get("param_groups", []) for i in g["params"]]
+    state = optimizer_state.get("state", {})
+    fusion = any(k.startswith(("encoder_1.", "module.encoder_1.")) for k in model_state)
+    mu: Dict[str, Any] = {}
+    nu: Dict[str, Any] = {}
+    count = 0
+    for pid, key in zip(ids, param_keys):
+        st = state.get(pid)
+        if st is None:
+            continue
+        step = st.get("step", 0)
+        count = max(count, int(step.item() if hasattr(step, "item") else step))
+        k = key[len("module."):] if key.startswith("module.") else key
+        mapped = _map_torch_key(k, fusion_decoders=fusion)
+        if mapped is None:
+            continue
+        path, leaf, coll = mapped
+        if coll != "params":
+            continue
+        for tree, src in ((mu, "exp_avg"), (nu, "exp_avg_sq")):
+            arr = st[src]
+            arr = np.asarray(arr.detach().cpu().numpy() if hasattr(arr, "detach") else arr)
+            if leaf == "kernel":
+                arr = _conv_w(arr) if arr.ndim == 4 else _dense_w(arr)
+            node = tree
+            for p in path:
+                node = node.setdefault(p, {})
+            node[leaf] = arr
+    return mu, nu, count
+
+
+def load_torch_checkpoint(path: str, with_optimizer: bool = False):
+    """Load a reference .pt checkpoint file and convert the model weights.
+
+    Returns (variables, meta), or (variables, adam_moments, meta) when
+    `with_optimizer` — adam_moments is (mu, nu, count) from
+    `convert_torch_adam_state`, or None if the file has no optimizer dict.
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -279,7 +456,12 @@ def load_torch_checkpoint(path: str) -> Tuple[Dict[str, Any], dict]:
     meta = {k: ckpt[k] for k in ("epoch", "batch_idx", "batch_size", "total_step_count") if k in ckpt}
     if "dataset_perm" in ckpt and ckpt["dataset_perm"] is not None:
         meta["dataset_perm"] = np.asarray(ckpt["dataset_perm"])
-    return variables, meta
+    if not with_optimizer:
+        return variables, meta
+    moments = None
+    if isinstance(ckpt, dict) and "optimizer" in ckpt:
+        moments = convert_torch_adam_state(state, ckpt["optimizer"])
+    return variables, moments, meta
 
 
 class CheckpointSaver:

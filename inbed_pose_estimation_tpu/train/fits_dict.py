@@ -74,31 +74,61 @@ def fits_set(
 
 class FitsStore:
     """Host-side lifecycle: seed from static fits / checkpoint dir, hold the
-    device array, persist on finalize (reference fits_dict.py:19-32)."""
+    device array, persist on finalize (reference fits_dict.py:19-32).
 
-    def __init__(self, dataset_name: str, num_samples: int, checkpoint_dir: str | None = None,
+    Multi-dataset layouts (MixedDataset mixtures) concatenate one
+    [N_i, 82] block per source dataset — the reference keys its dict by
+    (dataset, index) (train/fits_dict.py:19-32); here each dataset gets a
+    contiguous offset range, items carry global indices, and persistence
+    stays one `<name>_fits.npy` per dataset so static seed files and
+    checkpoints interoperate per-dataset.
+    """
+
+    def __init__(self, dataset_name, num_samples: int | None = None,
+                 checkpoint_dir: str | None = None,
                  static_fits_dir: str | None = None):
-        self.dataset_name = dataset_name
+        # Accept a single (name, num_samples) pair or a layout
+        # [(name, size), ...].
+        if isinstance(dataset_name, str):
+            layout = [(dataset_name, int(num_samples))]
+        else:
+            layout = [(n, int(s)) for n, s in dataset_name]
+        self.layout = layout
+        self.dataset_name = layout[0][0]
         self.checkpoint_dir = checkpoint_dir
-        arr = None
-        for d in (checkpoint_dir, static_fits_dir):
-            if d:
-                path = os.path.join(d, f"{dataset_name}_fits.npy")
-                if os.path.exists(path):
-                    arr = np.load(path)
-                    break
-        if arr is None:
-            arr = np.zeros((num_samples, 82), np.float32)
-        if arr.shape[0] != num_samples:
-            raise ValueError(
-                f"fits store for {dataset_name} has {arr.shape[0]} rows, dataset has {num_samples}"
-            )
-        self.array = jnp.asarray(arr.astype(np.float32))
+        self.offsets = {}
+        blocks = []
+        total = 0
+        for name, size in layout:
+            self.offsets[name] = total
+            arr = None
+            for d in (checkpoint_dir, static_fits_dir):
+                if d:
+                    path = os.path.join(d, f"{name}_fits.npy")
+                    if os.path.exists(path):
+                        arr = np.load(path)
+                        break
+            if arr is None:
+                arr = np.zeros((size, 82), np.float32)
+            if arr.shape[0] != size:
+                raise ValueError(
+                    f"fits store for {name} has {arr.shape[0]} rows, dataset has {size}"
+                )
+            blocks.append(arr.astype(np.float32))
+            total += size
+        self.array = jnp.asarray(np.concatenate(blocks, axis=0))
+
+    @property
+    def num_rows(self) -> int:
+        return sum(s for _, s in self.layout)
 
     def save(self):
         if self.checkpoint_dir:
             os.makedirs(self.checkpoint_dir, exist_ok=True)
-            np.save(
-                os.path.join(self.checkpoint_dir, f"{self.dataset_name}_fits.npy"),
-                np.asarray(self.array),
-            )
+            full = np.asarray(self.array)
+            for name, size in self.layout:
+                off = self.offsets[name]
+                np.save(
+                    os.path.join(self.checkpoint_dir, f"{name}_fits.npy"),
+                    full[off:off + size],
+                )

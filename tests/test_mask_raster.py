@@ -67,3 +67,28 @@ def test_part_renderer_zbuffer_and_labels():
     # Parts only where the mask is on (dilation makes them supersets of the
     # raw splats; compare against the dilated mask).
     assert (parts[mask == 0] == 0).all()
+
+
+def test_vert2map_drops_out_of_bounds():
+    """Off-grid vertices must be dropped, not wrapped: a vertex at x=-1 used
+    to paint the far edge via jnp negative-index wrapping (VERDICT Weak #6;
+    size-sentinel + mode='drop' idiom)."""
+    from inbed_pose_estimation_tpu.ops.vert2map import vert2map
+
+    W = H = 16
+    verts = jnp.asarray([[
+        [-1.0, 5.0, 0.5],    # off-grid left: would wrap to x=15 with -1 idiom
+        [5.0, -3.0, 0.5],    # off-grid top
+        [100.0, 5.0, 0.5],   # off-grid right
+        [8.0, 8.0, 0.7],     # the only in-bounds vertex
+    ]])
+    depth, contact = vert2map(verts, width=W, height=H)
+    depth = np.asarray(depth)[0]
+    contact = np.asarray(contact)[0]
+    assert contact[8, 8] == 1.0 and depth[8, 8] > 0
+    # No wrapped paint on the far edge / anywhere else outside the
+    # in-bounds vertex's 8-neighbor patch region.
+    assert contact[5, 15] == 0.0 and contact[13, 5] == 0.0
+    inb = np.zeros((H, W), bool)
+    inb[7:10, 7:10] = True
+    assert contact[~inb].sum() == 0.0

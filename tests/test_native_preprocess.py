@@ -104,3 +104,32 @@ def test_dataset_fast_preprocess_close_to_reference_path(tmp_path):
     assert np.abs(a["img"] - b["img"]).mean() < 0.2
     corr = np.corrcoef(a["img"].ravel(), b["img"].ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+@pytest.mark.skipif(not native.available(), reason="no g++ / build failed")
+def test_native_rotation_matches_host_crop():
+    """The C++ kernel's rotation path matches the host crop() affine (the
+    fast lane now covers the rot != 0 ~40% of train samples too).  Different
+    resamplers (uint8 PIL vs direct bilinear) -> loose tolerance on a smooth
+    image."""
+    from inbed_pose_estimation_tpu.data.transforms import crop
+
+    H, W = 128, 128
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    smooth = (127 + 80 * np.sin(xx / 9.0) * np.cos(yy / 11.0)).astype(np.uint8)
+    img = smooth[:, :, None]
+    center = np.array([64.0, 64.0])
+    scale, rot, res = 0.4, 25.0, 32
+
+    host = crop(smooth, center, scale, [res, res], rot=rot).astype(np.float32) / 255.0
+    nat = native.preprocess_batch(
+        img[None], center[None], np.array([scale]), np.array([0.0]),
+        np.ones((1, 3), np.float32), res, np.zeros(1, np.float32),
+        np.ones(1, np.float32), rots=np.array([rot], np.float32),
+    )[0, :, :, 0]
+
+    # Compare away from the border (rotation padding differs at edges).
+    inner = (slice(4, -4), slice(4, -4))
+    diff = np.abs(nat[inner] - host[inner])
+    assert diff.mean() < 0.02, diff.mean()
+    assert np.corrcoef(nat[inner].ravel(), host[inner].ravel())[0, 1] > 0.99

@@ -123,3 +123,51 @@ def test_bodies_at_rest_mode1_schedule():
     batch = _batch(2, seed=3)
     state, metrics = jax.jit(step_fn)(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_frozen_guided_fusion_train_step():
+    """ir_depth_pm_fusion pipeline (VERDICT Missing #2): the frozen guide's
+    params receive exactly zero update while the 5-ch main stage trains —
+    the reference runs the pretrained ir_depth_fusion under no_grad
+    (train/trainer.py:440-446)."""
+    import optax
+
+    model, spec = build_model("ir_depth_pm_fusion")
+    smpl = synthetic_smpl_model(seed=0)
+    prior = synthetic_gmm_prior()
+    opt = Opt()
+    step_fn, _ = make_train_step(model, spec, smpl, prior, opt)
+    mods = tuple(jnp.zeros((1, RES, RES, 1)) for _ in spec.modalities)
+    state = _state(model, (mods, smpl), opt)
+    guide_before = jax.device_get(state.params["guide"])
+    main_before = jax.device_get(state.params["main"])
+
+    state, metrics = jax.jit(step_fn)(state, _batch(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+    guide_after = jax.device_get(state.params["guide"])
+    main_after = jax.device_get(state.params["main"])
+    for a, b in zip(jax.tree_util.tree_leaves(guide_before),
+                    jax.tree_util.tree_leaves(guide_after)):
+        np.testing.assert_array_equal(a, b)
+    changed = sum(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(main_before),
+                        jax.tree_util.tree_leaves(main_after))
+    )
+    assert changed > 0, "main stage did not train"
+
+
+@pytest.mark.slow
+def test_frozen_guided_fusion_rgb_variant():
+    """ir_depth_pm_rgb_fusion: 6-ch main input (ir_rec, depth_rec, pm, rgb)."""
+    model, spec = build_model("ir_depth_pm_rgb_fusion")
+    smpl = synthetic_smpl_model(seed=0)
+    mods = tuple(
+        jnp.zeros((2, RES, RES, {"img": 3}.get(m, 1))) for m in spec.modalities
+    )
+    variables = model.init(jax.random.PRNGKey(0), mods, smpl)
+    out = model.apply(variables, mods, smpl)
+    assert out.stage2.rotmat.shape == (2, 24, 3, 3)
+    assert set(out.recovered) == {"ir", "depth"}

@@ -12,6 +12,10 @@ def main():
 
     options = parse_args()
 
+    from inbed_pose_estimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tensorboardX import SummaryWriter
 
     from inbed_pose_estimation_tpu import config
@@ -21,6 +25,15 @@ def main():
     from inbed_pose_estimation_tpu.models import build_model
     from inbed_pose_estimation_tpu.smpl import load_or_synthesize
     from inbed_pose_estimation_tpu.train import Trainer
+
+    from inbed_pose_estimation_tpu.utils.assets_check import check_assets
+
+    check_assets(
+        allow_synthetic=getattr(options, "allow_synthetic_assets", False),
+        smpl_model_dir=config.SMPL_MODEL_DIR,
+        smpl_mean_params=config.SMPL_MEAN_PARAMS,
+        gmm_prior_file=config.GMM_PRIOR_FILE if options.run_smplify else None,
+    )
 
     model, spec = build_model(options.model, smpl_mean_params=config.SMPL_MEAN_PARAMS)
     smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
