@@ -34,6 +34,10 @@ parser.add_argument("--device_preprocess", default=False, action="store_true",
 parser.add_argument("--allow_synthetic_assets", default=False, action="store_true",
                     help="Run with synthetic SMPL/regressor stand-ins when real "
                          "assets are missing (metrics NOT reference-comparable)")
+parser.add_argument("--pretrained_fusion_checkpoint", default=None,
+                    help="ir_depth_fusion guide weights for the "
+                         "ir_depth_pm_fusion pipelines (.npz or .pt); the "
+                         "reference loads this separately too (eval.py:534-538)")
 
 
 def main():
@@ -66,11 +70,24 @@ def main():
     model, spec = build_model(args.model, smpl_mean_params=config.SMPL_MEAN_PARAMS)
     smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
 
+    frozen_guided = args.model in ("ir_depth_pm_fusion", "ir_depth_pm_rgb_fusion")
+    loaded = None
     if args.checkpoint:
         if args.checkpoint.endswith(".pt"):
-            variables, _ = load_torch_checkpoint(args.checkpoint)
+            # .pt checkpoints of the FrozenGuidedFusion names hold the main
+            # 5/6-ch stage only; the converter nests them under 'main' and
+            # the guide is grafted from --pretrained_fusion_checkpoint.
+            loaded, _ = load_torch_checkpoint(args.checkpoint, target_model=args.model)
         else:
-            variables, _, _ = load_checkpoint(args.checkpoint)
+            loaded, _, _ = load_checkpoint(args.checkpoint)
+
+    needs_init = (
+        loaded is None
+        or (frozen_guided and args.checkpoint.endswith(".pt"))
+        or args.pretrained_fusion_checkpoint is not None
+    )
+    if loaded is not None and not needs_init:
+        variables = loaded
     else:
         import jax.numpy as jnp
 
@@ -98,6 +115,24 @@ def main():
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.concatenate(mods, axis=-1)
             )
+        from inbed_pose_estimation_tpu.train.checkpoint import merge_tolerant
+
+        variables = dict(variables)
+        if args.pretrained_fusion_checkpoint:
+            gck = args.pretrained_fusion_checkpoint
+            if gck.endswith(".pt"):
+                guide_vars, _ = load_torch_checkpoint(gck)
+            else:
+                guide_vars, _, _ = load_checkpoint(gck)
+            variables = merge_tolerant(
+                variables, {coll: {"guide": tree} for coll, tree in guide_vars.items()}
+            )
+        elif frozen_guided and loaded is not None:
+            print("WARNING: no --pretrained_fusion_checkpoint — the frozen "
+                  "ir_depth_fusion guide keeps random init; metrics are "
+                  "meaningless for this pipeline")
+        if loaded is not None:
+            variables = merge_tolerant(variables, loaded)
 
     splits = [args.dataset] if args.dataset else [
         "slp-4mod-cover2", "slp-4mod-uncover", "slp-4mod-cover1"

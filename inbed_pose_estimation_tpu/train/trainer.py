@@ -355,18 +355,9 @@ def _graft_adam_moments(opt_state, mu, nu, count):
     return (new_inner,) + tuple(opt_state[1:])
 
 
-def _merge_tolerant(base, incoming):
-    """Recursively overwrite `base` leaves with same-path, same-shape leaves
-    from `incoming` (torch strict=False load semantics)."""
-    if not isinstance(base, dict) or not isinstance(incoming, dict):
-        b = np.asarray(base)
-        inc = np.asarray(incoming)
-        return incoming if b.shape == inc.shape else base
-    out = dict(base)
-    for k, v in incoming.items():
-        if k in out:
-            out[k] = _merge_tolerant(out[k], v)
-    return out
+# Re-exported from checkpoint.py so drivers (eval.py) share the same
+# strict=False load semantics.
+from .checkpoint import merge_tolerant as _merge_tolerant  # noqa: E402
 
 
 class Trainer:
@@ -462,7 +453,8 @@ class Trainer:
             if pretrained.endswith(".pt"):
                 from .checkpoint import load_torch_checkpoint
 
-                pre_vars, _ = load_torch_checkpoint(pretrained)
+                pre_vars, _ = load_torch_checkpoint(
+                    pretrained, target_model=options.model)
             else:
                 pre_vars, _, _ = load_checkpoint(pretrained)
             params = _merge_tolerant(params, pre_vars.get("params", {}))
@@ -487,7 +479,7 @@ class Trainer:
                     from .checkpoint import load_torch_checkpoint
 
                     variables_ck, moments, meta = load_torch_checkpoint(
-                        ck, with_optimizer=True
+                        ck, with_optimizer=True, target_model=options.model
                     )
                     opt_flat = {}
                 else:
