@@ -56,6 +56,13 @@ def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model,
     """Write recovered-modality images and mesh overlays for inspection
     (reference: eval.py:294-378 renders shape/side/top + recovered imgs)."""
     from .. import constants as C
+
+    if "img" not in batch:  # raw-decode (device-preprocess) mode
+        if not getattr(_save_artifacts, "_warned_raw", False):
+            print("artifact dumps unavailable under --device_preprocess "
+                  "(normalized images never materialize on the host)")
+            _save_artifacts._warned_raw = True
+        return
     from ..render.renderer import Renderer
 
     out_dir = os.path.join(result_file, dataset_name)
@@ -70,8 +77,6 @@ def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model,
     )
     verts = np.asarray(preds["vertices"])
     recon = {k: np.asarray(v) for k, v in preds.get("recon", {}).items()}
-    if "img" not in batch:  # raw-decode (device-preprocess) mode
-        return
     imgs = np.asarray(batch["img"])
     mean = np.asarray(C.IMG_NORM_MEAN)
     std = np.asarray(C.IMG_NORM_STD)
@@ -119,12 +124,29 @@ def run_evaluation(
     num_cas_iters: int = 2,
     eval_masks_enabled: bool = True,
     device_preprocess: bool = False,
+    devices=None,
 ) -> dict:
     """Evaluate MPJPE / PA-MPJPE / PVE (+ mask accuracy/F1) on a split.
+
+    Inference is data-parallel over a 1-D device mesh (the reference
+    evaluates under nn.DataParallel, eval.py:529): padded batches are
+    sharded on dim 0 across the largest device count that divides
+    batch_size, with the variables replicated.  All metric math is
+    per-sample, so results match the single-chip run to float32 rounding
+    (XLA's conv tiling depends on the per-shard batch shape; measured
+    divergence ~1e-7 — pinned by tests/test_eval_sharded.py).
 
     Returns the metric dict and appends to <checkpoint_dir>/log.txt like
     eval.py:498-513.
     """
+    from ..parallel import batch_sharding, make_mesh, replicated
+
+    devs = list(devices) if devices is not None else jax.devices()
+    n_use = max(k for k in range(1, len(devs) + 1) if batch_size % k == 0)
+    mesh = make_mesh(devs[:n_use])
+    bshard = batch_sharding(mesh)
+    variables = jax.device_put(variables, replicated(mesh))
+
     n = len(dataset)
     infer = jax.jit(
         make_inference_fn(
@@ -139,6 +161,11 @@ def run_evaluation(
     mpjpe = np.zeros(n)
     recon_err = np.zeros(n)
     pve = np.zeros(n)
+    # PVE is averaged over samples WITH GT SMPL only — zero-filling samples
+    # without GT and dividing by n would deflate the metric on splits with
+    # partial SMPL GT (the reference never populates PVE at all,
+    # eval.py:104-106; this metric is our own claim, so it must be honest).
+    pve_valid = np.zeros(n, dtype=bool)
     accuracy = 0.0
     pixel_count = 0
     tp = np.zeros(2)
@@ -211,18 +238,20 @@ def run_evaluation(
             from ..parallel import pad_to_multiple
 
             dev_batch, _ = pad_to_multiple(dev_batch, batch_size)
+        put = lambda x, dt=None: jax.device_put(  # noqa: E731
+            jnp.asarray(x, dt) if dt else jnp.asarray(x), bshard)
         if pre_fn is not None:
             pre_bs = next(iter(dev_batch.values())).shape[0]
             processed = pre_fn(
-                {k: jnp.asarray(dev_batch["raw_" + k]) for k in spec.modalities
+                {k: put(dev_batch["raw_" + k]) for k in spec.modalities
                  if "raw_" + k in dev_batch},
-                jnp.asarray(dev_batch["center"], jnp.float32),
-                jnp.asarray(dev_batch["scale"], jnp.float32),
-                jnp.zeros(pre_bs, jnp.float32),
-                jnp.ones((pre_bs, 3), jnp.float32),
+                put(dev_batch["center"], jnp.float32),
+                put(dev_batch["scale"], jnp.float32),
+                put(np.zeros(pre_bs, np.float32)),
+                put(np.ones((pre_bs, 3), np.float32)),
             )
             dev_batch.update(processed)
-        inputs = tuple(jnp.asarray(dev_batch[k]) for k in feed_keys)
+        inputs = tuple(put(dev_batch[k]) for k in feed_keys)
         preds = infer(variables, inputs)
 
         if eval_pose:
@@ -242,7 +271,9 @@ def run_evaluation(
                 pv = np.asarray(
                     jnp.sqrt(jnp.sum((preds["vertices"] - gt_verts) ** 2, axis=-1)).mean(axis=-1)
                 )
-                pve[lo:hi] = pv[:bs] * np.asarray(batch["has_smpl"] > 0, np.float32)
+                valid = np.asarray(batch["has_smpl"] > 0)
+                pve[lo:hi] = pv[:bs] * valid
+                pve_valid[lo:hi] = valid
 
         if eval_masks:
             masks = np.asarray(mask_fn(preds["vertices"], preds["cam"]))[..., 0]
@@ -322,7 +353,7 @@ def run_evaluation(
     results = {
         "mpjpe": 1000 * mpjpe.mean() if eval_pose else None,
         "pa_mpjpe": 1000 * recon_err.mean() if eval_pose else None,
-        "pve": 1000 * pve.mean() if eval_pose else None,
+        "pve": (1000 * pve[pve_valid].mean() if pve_valid.any() else None) if eval_pose else None,
         "mask_accuracy": (accuracy / pixel_count) if pixel_count else None,
         "mask_f1": float(f1.mean()) if pixel_count else None,
         "parts_accuracy": (parts_accuracy / parts_pixel_count) if parts_pixel_count else None,
