@@ -40,33 +40,40 @@ def splat_points_to_mask(
       [B, height, width, 1] float mask in {0, 1}.
     """
     B, N = xy.shape[0], xy.shape[1]
+    # The reference splats into a 500px-padded canvas, so points up to
+    # dilation//2 px OUTSIDE the output still dilate into its border; a
+    # margin-extended canvas reproduces that exactly (points farther out
+    # are dropped — the reference would index past its padding there).
+    m = dilation // 2
+    h2, w2 = height + 2 * m, width + 2 * m
     # Truncation toward zero matches torch .type(LongTensor) used by the
     # reference.
-    xi = xy[..., 0].astype(jnp.int32)
-    yi = xy[..., 1].astype(jnp.int32)
-    valid = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
-    flat = yi * width + xi
+    xi = xy[..., 0].astype(jnp.int32) + m
+    yi = xy[..., 1].astype(jnp.int32) + m
+    valid = (xi >= 0) & (xi < w2) & (yi >= 0) & (yi < h2)
+    flat = yi * w2 + xi
     # Invalid points get an index past the end: mode="drop" discards them
     # (negative indices would WRAP in jnp scatter, silently writing the
-    # last pixel — the reference avoids this with 500px padding).
-    flat = jnp.where(valid, flat, height * width)
+    # last pixel).
+    flat = jnp.where(valid, flat, h2 * w2)
 
-    canvas = jnp.zeros((B, height * width), dtype=jnp.float32)
+    canvas = jnp.zeros((B, h2 * w2), dtype=jnp.float32)
     ones = jnp.ones((B, N), dtype=jnp.float32)
     canvas = canvas.at[jnp.arange(B)[:, None], flat].max(ones, mode="drop")
-    mask = canvas.reshape(B, height, width, 1)
+    mask = canvas.reshape(B, h2, w2, 1)
 
     if dilation > 1:
-        pad = dilation // 2
         mask = jax.lax.reduce_window(
             mask,
             -jnp.inf,
             jax.lax.max,
             window_dimensions=(1, dilation, dilation, 1),
             window_strides=(1, 1, 1, 1),
-            padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+            padding=((0, 0), (m, m), (m, m), (0, 0)),
         )
         mask = jnp.maximum(mask, 0.0)
+    if m:
+        mask = mask[:, m:-m, m:-m, :]
     return mask
 
 

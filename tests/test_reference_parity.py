@@ -171,3 +171,110 @@ def test_reference_rec3hmr_parity(ref_hmr, mean_params_npz):
     _assert_close(out.rotmat, t_rot.numpy(), 1e-3, "rotmat")
     for name, want in (("depth", t_depth), ("ir", t_ir), ("pm", t_pm)):
         _assert_close(out.recon[name][..., 0], want.numpy()[:, 0], 2e-3, name)
+
+
+@pytest.mark.slow
+def test_reference_mulhmr_featcat_parity(ref_hmr, mean_params_npz):
+    """featcat (reference class MULHMRFeatCat, models/hmr.py:884-962).
+
+    The reference class cannot execute its own forward: it builds BOTH
+    trunks with the default input_dim=3 (:904-905) yet feeds the 1-channel
+    ir_img, and then `torch.cat`s the trunks' pyramid TUPLES (:931-937) —
+    two latent defects.  So this test pins the converter + our module
+    against the evident intent composed from the REAL submodules: x4
+    feature concat -> avgpool -> the real fc1/fc2/dec* IEF loop.  Every
+    state-dict key converts (on_unmapped='raise'); both sides get 3-channel
+    inputs so the real trunks are exercised as built.
+    """
+    ref = ref_hmr.MULHMRFeatCat(ref_hmr.Bottleneck, _layers(), mean_params_npz)
+    ref.eval()
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 1, (2, 3, RES, RES)).astype(np.float32)
+    b = rng.normal(0, 1, (2, 3, RES, RES)).astype(np.float32)
+
+    with torch.no_grad():
+        x4_a = ref.feat_extraction_rgb(torch.from_numpy(a))[4]
+        x4_b = ref.feat_extraction_ir(torch.from_numpy(b))[4]
+        xf = ref.avgpool(torch.cat([x4_a, x4_b], 1)).view(2, -1)
+        pose = ref.init_pose.expand(2, -1)
+        shape = ref.init_shape.expand(2, -1)
+        cam = ref.init_cam.expand(2, -1)
+        for _ in range(3):
+            xc = ref.fc2(ref.fc1(torch.cat([xf, pose, shape, cam], 1)))
+            pose = ref.decpose(xc) + pose
+            shape = ref.decshape(xc) + shape
+            cam = ref.deccam(xc) + cam
+        t_rot = ref_hmr.rot6d_to_rotmat(pose).view(2, 24, 3, 3)
+
+    from inbed_pose_estimation_tpu.models.hmr import MultiTrunkCore
+    from inbed_pose_estimation_tpu.smpl.assets import mean_params as _mp
+
+    mp = _mp(None)
+    model = MultiTrunkCore(
+        mean_pose=tuple(float(v) for v in mp["pose"]),
+        mean_shape=tuple(float(v) for v in mp["shape"]),
+        mean_cam=tuple(float(v) for v in mp["cam"]),
+        num_trunks=2,
+    )
+    variables = convert_torch_state_dict(ref.state_dict(), on_unmapped="raise")
+    fx = (jnp.asarray(np.transpose(a, (0, 2, 3, 1))),
+          jnp.asarray(np.transpose(b, (0, 2, 3, 1))))
+    out = model.apply(variables, fx)
+    _assert_close(out.betas, shape.numpy(), 3e-4, "betas")
+    _assert_close(out.cam, cam.numpy(), 3e-4, "cam")
+    _assert_close(out.rotmat, t_rot.numpy(), 1e-3, "rotmat")
+
+
+@pytest.mark.slow
+def test_reference_ir_depth_fusion_parity(ref_hmr, mean_params_npz):
+    """ir_depth_fusion (reference class IR_DEPTH_Fusion, models/hmr.py:
+    1628-1786): FULL two-stage forward parity — stage-1 HMR, SMPL-vertex
+    body-mask scatter + 5x5 dilation + bilinear upsample (our vectorized
+    rasterizer vs the reference's per-sample python loop), mask-gated
+    ir/depth recovery decoders, and the stage-2 re-regression.  The SMPL
+    module argument is stubbed with OUR synthetic SMPL pytree on both sides
+    so the vertex inputs are identical."""
+    import types as _types
+
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+    from inbed_pose_estimation_tpu.smpl.model import lbs
+
+    smpl_model = synthetic_smpl_model(seed=0)
+
+    class SMPLStub(torch.nn.Module):
+        def forward(self, betas=None, body_pose=None, global_orient=None,
+                    pose2rot=False):
+            rotmat = torch.cat([global_orient, body_pose], dim=1)
+            verts, _ = lbs(smpl_model, jnp.asarray(betas.detach().numpy()),
+                           jnp.asarray(rotmat.detach().numpy()))
+            return _types.SimpleNamespace(
+                vertices=torch.from_numpy(np.asarray(verts)))
+
+    ref = ref_hmr.IR_DEPTH_Fusion(ref_hmr.Bottleneck, _layers(),
+                                  mean_params_npz, input_dim=2)
+    ref.eval()
+    rng = np.random.default_rng(5)
+    ir = rng.normal(0, 1, (2, 1, RES, RES)).astype(np.float32)
+    depth = rng.normal(0, 1, (2, 1, RES, RES)).astype(np.float32)
+    with torch.no_grad():
+        (t_rot, t_shape, t_cam, t_rot1, t_shape1, t_cam1,
+         t_ir, t_depth, t_mask) = ref(
+            [torch.from_numpy(ir), torch.from_numpy(depth)], SMPLStub())
+
+    model, _ = build_model("ir_depth_fusion")
+    variables = convert_torch_state_dict(ref.state_dict(), on_unmapped="raise")
+    fx = (jnp.asarray(np.transpose(ir, (0, 2, 3, 1))),
+          jnp.asarray(np.transpose(depth, (0, 2, 3, 1))))
+    out = model.apply(variables, fx, smpl_model)
+
+    _assert_close(out.stage1.betas, t_shape.numpy(), 3e-4, "stage1 betas")
+    _assert_close(out.stage1.cam, t_cam.numpy(), 3e-4, "stage1 cam")
+    _assert_close(out.stage1.rotmat, t_rot.numpy(), 1e-3, "stage1 rotmat")
+    # The splatted body mask matches the reference scatter loop exactly.
+    np.testing.assert_array_equal(
+        np.asarray(out.mask)[..., 0], t_mask.numpy()[:, 0])
+    _assert_close(out.recovered["ir"][..., 0], t_ir.numpy()[:, 0], 2e-3, "ir_out")
+    _assert_close(out.recovered["depth"][..., 0], t_depth.numpy()[:, 0], 2e-3, "depth_out")
+    _assert_close(out.stage2.rotmat, t_rot1.numpy(), 1e-3, "stage2 rotmat")
+    _assert_close(out.stage2.betas, t_shape1.numpy(), 3e-4, "stage2 betas")
