@@ -29,14 +29,14 @@ def crop_resize(img: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray, res: 
     img: [H, W, C] float; center: [2] (x, y); scale: [] bbox scale.
 
     Matches the host path's integer-snapped box (transforms.crop truncates
-    ul/br through `.astype(int)`): output pixel u maps to input
-    x = ul_x + (u + .5) * (br_x - ul_x) / res - .5, with ul/br floored like
-    the host — without the snap the device crop is sub-pixel shifted
-    against the host crop.
+    ul/br through `.astype(int)`, i.e. trunc-toward-zero): output pixel u
+    maps to input x = ul_x + (u + .5) * (br_x - ul_x) / res - .5, with
+    ul/br truncated like the host — floor would shift the device crop one
+    source pixel for bboxes crossing the top/left edge (negative ul).
     """
     h = 200.0 * scale
-    ul = jnp.floor(center - h / 2.0)          # [2] (x, y), host's int trunc
-    br = jnp.floor(center + h / 2.0)
+    ul = jnp.trunc(center - h / 2.0)          # [2] (x, y), host's int trunc
+    br = jnp.trunc(center + h / 2.0)
     bw = jnp.maximum(br - ul, 1.0)            # box size per axis
     sxy = res / bw
     txy = -ul * res / bw
