@@ -12,7 +12,10 @@ answer "how close to the hardware ceiling is the flagship graph?" honestly:
   * MFU = achieved FLOP/s over the chip's bf16 peak.
 
 Run:  python -m inbed_pose_estimation_tpu.tools.profile_mfu [--train]
-Writes one JSON line per configuration; summarize into PARITY.md.
+      [--batches 32,64,128,256] [--trace_dir DIR]
+`--train` profiles the FULL compiled training step (cascade fwd+bwd + Adam +
+fits scatter) instead of inference.  Writes one JSON line per configuration;
+summarized into PARITY.md's MFU table.
 """
 
 from __future__ import annotations
@@ -123,6 +126,101 @@ def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int =
     }
 
 
+def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
+                  run_smplify: bool = False):
+    """MFU of the full compiled training step (fwd+bwd cascade, SMPL LBS,
+    camera LSQ, losses, Adam, fits scatter) — FLOPs from XLA's cost model on
+    the lowered step program."""
+    import jax
+    import jax.numpy as jnp
+    import optax  # noqa: F401  (train step construction pulls it in)
+
+    from ..fitting import synthetic_gmm_prior
+    from ..models import build_model
+    from ..smpl import synthetic_smpl_model
+    from ..train.trainer import TrainState, make_train_step
+
+    class Opt:
+        img_res = res
+        lr = 5e-5
+        num_cas_iters = num_cas
+        num_smplify_iters = 100
+        smplify_threshold = 100.0
+        shape_loss_weight = 0.0
+        keypoint_loss_weight = 5.0
+        beta_loss_weight = 0.001
+        openpose_train_weight = 0.0
+        gt_train_weight = 1.0
+
+    Opt.run_smplify = run_smplify
+    model, spec = build_model("cashmrV2", dtype=jnp.bfloat16)
+    smpl = synthetic_smpl_model(seed=0)
+    prior = synthetic_gmm_prior()
+    step_fn, tx = make_train_step(model, spec, smpl, prior, Opt())
+
+    rng = np.random.default_rng(0)
+    B = batch
+    host = {
+        "img": rng.normal(0, 1, (B, res, res, 3)),
+        "ir_img": rng.normal(0, 1, (B, res, res, 1)),
+        "depth_img": rng.normal(0, 1, (B, res, res, 1)),
+        "pm_img": rng.normal(0, 1, (B, res, res, 1)),
+        "depth_img_uncover": rng.normal(0, 1, (B, res, res, 1)),
+        "keypoints": np.concatenate([rng.uniform(-1, 1, (B, 49, 2)), np.ones((B, 49, 1))], -1),
+        "pose": rng.normal(0, 0.2, (B, 72)),
+        "betas": rng.normal(0, 0.5, (B, 10)),
+        "pose_3d": np.concatenate([rng.normal(0, 0.3, (B, 24, 3)), np.ones((B, 24, 1))], -1),
+        "has_smpl": np.ones(B),
+        "has_pose_3d": np.ones(B),
+        "is_flipped": np.zeros(B),
+        "rot_angle": np.zeros(B),
+        "sample_index": np.arange(B),
+    }
+    data = {k: jnp.asarray(v, jnp.int32 if k == "sample_index" else jnp.float32)
+            for k, v in host.items()}
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, res, res, 6)))
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        fits=jnp.zeros((max(B, 64), 82)),
+        rng=jax.random.PRNGKey(1),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    jitted = jax.jit(step_fn)  # no donation: we re-feed the same state
+    compiled = jitted.lower(state, data).compile()
+    flops = _flops_from_cost_analysis(compiled)
+    flops_src = "xla_cost_analysis"
+    if flops is None:
+        # fwd ~= inference flops, bwd ~= 2x fwd.
+        flops = 3.0 * _analytic_inference_flops(B, res, num_cas)
+        flops_src = "analytic"
+
+    new_state, metrics = jitted(state, data)
+    float(metrics["loss"])  # warmup + force completion
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        new_state, metrics = jitted(state, data)
+        _ = float(metrics["loss"])  # per-iter fetch (see module docstring)
+    dt = (time.perf_counter() - t0) / iters
+
+    peak = guess_peak()
+    return {
+        "what": "cashmrV2 train step" + (" +smplify" if run_smplify else ""),
+        "batch": B,
+        "res": res,
+        "step_ms": round(dt * 1000, 2),
+        "images_per_sec": round(B / dt, 1),
+        "gflops_per_step": round(flops / 1e9, 1),
+        "flops_source": flops_src,
+        "achieved_tflops": round(flops / dt / 1e12, 2),
+        "mfu": round(flops / dt / peak, 4),
+        "device": __import__("jax").devices()[0].device_kind,
+    }
+
+
 def capture_trace(logdir: str, batch: int = 32, res: int = 224):
     """xprof trace of a few inference steps (view with tensorboard)."""
     import jax
@@ -139,11 +237,30 @@ def main():
     ap.add_argument("--batches", default="32,64,128,256")
     ap.add_argument("--res", type=int, default=224)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--train", action="store_true",
+                    help="profile the full training step instead of inference")
+    ap.add_argument("--num_cas_iters", type=int, default=2)
+    ap.add_argument("--run_smplify", action="store_true")
     ap.add_argument("--trace_dir", default=None,
                     help="Also capture a jax.profiler trace here")
     args = ap.parse_args()
+
+    # Persistent compilation cache — without it a cold 4-point batch sweep
+    # spends >9 min compiling before the first output line.
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     for b in [int(x) for x in args.batches.split(",")]:
-        print(json.dumps(profile_inference(b, args.res, iters=args.iters)))
+        if args.train:
+            print(json.dumps(profile_train(
+                b, args.res, num_cas=args.num_cas_iters,
+                iters=max(3, args.iters // 2), run_smplify=args.run_smplify)),
+                flush=True)
+        else:
+            print(json.dumps(profile_inference(
+                b, args.res, num_cas=args.num_cas_iters, iters=args.iters)),
+                flush=True)
     if args.trace_dir:
         capture_trace(args.trace_dir, res=args.res)
         print(json.dumps({"trace": args.trace_dir}))
