@@ -13,7 +13,9 @@ deliberate TPU choices, not behavioral changes:
     `mean over axis 0` lowers to a cross-device psum under GSPMD.  This is
     a deliberate departure from the reference's per-replica DataParallel-BN
     (SURVEY.md §2.3): sync-BN makes training numerics INDEPENDENT of device
-    count (1-chip and 8-chip runs match bit-for-bit — pinned by
+    count (1-chip and 8-chip runs match up to float32 reduction order:
+    loss ~1e-5 rel, deep-layer batch stats up to ~1e-3 rel via
+    ReLU-boundary divergence — pinned by
     tests/test_train_step.py::test_sync_bn_device_count_equivalence),
     whereas per-shard stats would change with the mesh size.  Inference/eval
     uses running statistics and is unaffected either way.
@@ -31,6 +33,28 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def batch_norm(train: bool, dtype, name: str) -> nn.BatchNorm:
+    """The one BatchNorm configuration used framework-wide.
+
+    momentum/eps match torch defaults (0.9 / 1e-5, like the reference's
+    nn.BatchNorm2d).  `use_fast_variance=False` computes the batch variance
+    two-pass as mean((x - mean)^2) instead of E[x^2] - E[x]^2: the one-pass
+    form cancels catastrophically when var << mean^2, amplifying the psum
+    reduction-order noise of the sharded sync-BN path ~1000x (observed
+    4.9e-4 abs on running stats after one step at 1 vs 8 devices; two-pass
+    is ~1e-6).  torch also computes variance directly, so this is the
+    parity-faithful form as well.
+    """
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        use_fast_variance=False,
+        name=name,
+    )
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride) -> 1x1(x4) residual block with projection shortcut."""
 
@@ -42,13 +66,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                name=name,
-            )
+            return batch_norm(train, self.dtype, name)
 
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -106,10 +124,7 @@ class ResNet50Trunk(nn.Module):
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn1",
-        )(x0)
+        h = batch_norm(train, self.dtype, "bn1")(x0)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

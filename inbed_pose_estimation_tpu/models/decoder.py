@@ -14,6 +14,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .backbone import batch_norm
+
 Dtype = Any
 
 
@@ -36,10 +38,7 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=name,
-            )
+            return batch_norm(train, self.dtype, name)
 
         h = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="conv0")(x)
@@ -62,10 +61,7 @@ class Upsampler(nn.Module):
         h = nn.Conv(4 * self.features, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         h = pixel_shuffle(h, 2)
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn",
-        )(h)
+        h = batch_norm(train, self.dtype, "bn")(h)
         return h
 
 

@@ -12,6 +12,11 @@ backend is initialized.
 
 import os
 
+# XLA:CPU AOT-cache ERROR-spam suppression lives in tests/early_env.py
+# (a `-p` plugin — it must run BEFORE pytest's capture plugin; see its
+# docstring).  By the time this conftest imports, TF_CPP_MIN_LOG_LEVEL=3
+# is already in the environment via that plugin's one-shot re-exec.
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,8 +29,26 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the train-step/model graphs take minutes to
 # compile on this 1-core host; caching makes repeated suite runs fast.
+# The cache dir is keyed by a host CPU fingerprint — XLA:CPU AOT artifacts
+# embed machine features (AVX512 etc.), and reusing another host's cache
+# sprays "could lead to SIGILL" feature-mismatch errors through every run.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+def _host_fingerprint() -> str:
+    material = platform.machine() + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    material += line
+                    break
+    except OSError:
+        pass
+    return hashlib.md5(material.encode()).hexdigest()[:10]
+
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          ".jax_cache")
+                          ".jax_cache", _host_fingerprint())
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
