@@ -83,7 +83,14 @@ def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int =
         jnp.asarray(rng.normal(0, 1, (batch, res, res, {"img": 3}.get(m, 1))).astype(np.float32))
         for m in spec.modalities
     )
-    variables = model.init(jax.random.PRNGKey(0), jnp.concatenate(inputs, axis=-1))
+    # init at batch 2: params are batch-independent, and EAGER init at the
+    # full sweep batch (256) resource-exhausts the chip before the jitted
+    # (memory-scheduled) program ever runs.
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, res, res, sum({"img": 3}.get(m, 1) for m in spec.modalities)),
+                  jnp.float32),
+    )
     fn = make_inference_fn(
         model, spec, smpl_model,
         j_regressor_h36m=load_j_regressor_h36m(num_vertices=smpl_model.v_template.shape[0]),
@@ -127,7 +134,7 @@ def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int =
 
 
 def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
-                  run_smplify: bool = False):
+                  run_smplify: bool = False, remat: bool = False):
     """MFU of the full compiled training step (fwd+bwd cascade, SMPL LBS,
     camera LSQ, losses, Adam, fits scatter) — FLOPs from XLA's cost model on
     the lowered step program."""
@@ -153,6 +160,9 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
         gt_train_weight = 1.0
 
     Opt.run_smplify = run_smplify
+    # jax.checkpoint on the cascade stages: fwd+bwd at 224^2 batch >= 128
+    # holds the full decoder activation pyramid otherwise (OOMs on 16G HBM).
+    Opt.remat = remat
     model, spec = build_model("cashmrV2", dtype=jnp.bfloat16)
     smpl = synthetic_smpl_model(seed=0)
     prior = synthetic_gmm_prior()
@@ -208,7 +218,8 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
 
     peak = guess_peak()
     return {
-        "what": "cashmrV2 train step" + (" +smplify" if run_smplify else ""),
+        "what": ("cashmrV2 train step" + (" +smplify" if run_smplify else "")
+                 + (" +remat" if remat else "")),
         "batch": B,
         "res": res,
         "step_ms": round(dt * 1000, 2),
@@ -241,6 +252,9 @@ def main():
                     help="profile the full training step instead of inference")
     ap.add_argument("--num_cas_iters", type=int, default=2)
     ap.add_argument("--run_smplify", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the cascade stages (needed to fit "
+                         "train batches >= 128 in HBM)")
     ap.add_argument("--trace_dir", default=None,
                     help="Also capture a jax.profiler trace here")
     args = ap.parse_args()
@@ -255,7 +269,8 @@ def main():
         if args.train:
             print(json.dumps(profile_train(
                 b, args.res, num_cas=args.num_cas_iters,
-                iters=max(3, args.iters // 2), run_smplify=args.run_smplify)),
+                iters=max(3, args.iters // 2), run_smplify=args.run_smplify,
+                remat=args.remat)),
                 flush=True)
         else:
             print(json.dumps(profile_inference(
