@@ -63,6 +63,13 @@ class BaseDataset:
         # Raw-decode mode: emit uint8 raw modalities + metadata only, for
         # the fused device preprocess (eval driver --device_preprocess).
         self.return_raw = bool(getattr(options, "device_preprocess", False)) and not is_train
+        # uint8 training feed: emit post-crop/flip uint8 images + the drawn
+        # channel-noise factors, and let the train step apply
+        # noise/normalize on device (data/device_preprocess.py::
+        # decode_uint8_batch).  4x less H2D traffic per step; the math
+        # matches the host path to one float32 ulp (same clip(u8*pn)/255 ->
+        # (x-m)/s, device-side in f32 where the host rounds through f64).
+        self.uint8_feed = bool(getattr(options, "uint8_feed", False)) and is_train
         if self.fast_preprocess:
             from ..ops import native as _native
 
@@ -154,30 +161,42 @@ class BaseDataset:
         )[0]
         return out
 
-    def rgb_processing(self, rgb_img, center, scale, rot, flip, pn):
+    def rgb_processing(self, rgb_img, center, scale, rot, flip, pn, as_uint8=False):
         if self._native is not None:
-            return self._native_crop(
-                np.ascontiguousarray(rgb_img).astype(np.uint8), center, scale, flip, pn,
+            out = self._native_crop(
+                np.ascontiguousarray(rgb_img).astype(np.uint8), center, scale, flip,
+                np.ones(3, np.float32) if as_uint8 else pn,
                 rot=rot,
             )
+            if as_uint8:  # requantize the kernel's [0,1] float output
+                return np.rint(out * 255.0).astype(np.uint8)
+            return out
         img = crop(rgb_img, center, scale, [self.img_res, self.img_res], rot=rot)
-        img = img.astype(np.float32)
         if flip:
             img = np.ascontiguousarray(flip_img(img))
+        if as_uint8:  # noise/normalize happen on device (uint8 feed)
+            return img.astype(np.uint8)
+        img = img.astype(np.float32)
         for c in range(3):
             img[:, :, c] = np.clip(img[:, :, c] * pn[c], 0, 255)
         return img / 255.0  # [H, W, 3]
 
-    def gray_processing(self, gray_img, center, scale, rot, flip, pn):
+    def gray_processing(self, gray_img, center, scale, rot, flip, pn, as_uint8=False):
         if self._native is not None:
-            return self._native_crop(
+            out = self._native_crop(
                 np.ascontiguousarray(gray_img).astype(np.uint8)[:, :, None],
-                center, scale, flip, pn, rot=rot,
+                center, scale, flip,
+                np.ones(3, np.float32) if as_uint8 else pn, rot=rot,
             )
+            if as_uint8:
+                return np.rint(out * 255.0).astype(np.uint8)
+            return out
         img = crop(gray_img, center, scale, [self.img_res, self.img_res], rot=rot)
-        img = img.astype(np.float32)
         if flip:
             img = np.ascontiguousarray(flip_img(img))
+        if as_uint8:
+            return img.astype(np.uint8)[:, :, None]
+        img = img.astype(np.float32)
         img = np.clip(img * pn[0], 0, 255)
         return img[:, :, None] / 255.0  # [H, W, 1]
 
@@ -297,10 +316,11 @@ class BaseDataset:
             item["dataset_name"] = self.dataset
             return item
 
-        img = self.rgb_processing(img, center, sc * scale, rot, flip, pn)
-        ir_img = self.gray_processing(ir_img, center, sc * scale, rot, flip, pn)
-        depth_img = self.gray_processing(depth_img, center, sc * scale, rot, flip, pn)
-        pm_img = self.gray_processing(pm_img, center, sc * scale, rot, flip, pn)
+        u8 = self.uint8_feed
+        img = self.rgb_processing(img, center, sc * scale, rot, flip, pn, as_uint8=u8)
+        ir_img = self.gray_processing(ir_img, center, sc * scale, rot, flip, pn, as_uint8=u8)
+        depth_img = self.gray_processing(depth_img, center, sc * scale, rot, flip, pn, as_uint8=u8)
+        pm_img = self.gray_processing(pm_img, center, sc * scale, rot, flip, pn, as_uint8=u8)
 
         # Uncovered counterparts via filename rewriting
         # (base_dataset.py:327-353).
@@ -308,28 +328,52 @@ class BaseDataset:
             return p.replace("cover1", "uncover").replace("cover2", "uncover")
 
         img_unc = self.rgb_processing(self._read_rgb(unc(imgname)), center, sc * scale, rot, flip, pn)
-        ir_unc = self.gray_processing(self._read_gray(unc(irname)), center, sc * scale, rot, flip, pn)
+        ir_unc = self.gray_processing(self._read_gray(unc(irname)), center, sc * scale, rot, flip, pn,
+                                      as_uint8=u8)
         depth_unc = self.gray_processing(
-            self._read_gray(unc(depthname)), center, sc * scale, rot, flip, pn
+            self._read_gray(unc(depthname)), center, sc * scale, rot, flip, pn, as_uint8=u8
         )
-        pm_unc = self.gray_processing(self._read_gray(unc(pmname)), center, sc * scale, rot, flip, pn)
+        pm_unc = self.gray_processing(self._read_gray(unc(pmname)), center, sc * scale, rot, flip, pn,
+                                      as_uint8=u8)
         mask_unc = self.gray_processing(
             self._read_gray(unc(pmname).replace("PM_aligned", "masks")),
-            center, sc * scale, rot, flip, pn,
+            center, sc * scale, rot, flip, pn, as_uint8=u8,
         )
-        pm_contact = self.gen_contact(pm_img, mask_unc, sigma=1, edges=True)
+        if u8:
+            # gen_contact needs the noised [0,1] float views; derive them
+            # with the exact device-side decode math.
+            pm_f = np.clip(pm_img.astype(np.float32) * pn[0], 0, 255) / 255.0
+            mask_f = np.clip(mask_unc.astype(np.float32) * pn[0], 0, 255) / 255.0
+            pm_contact = self.gen_contact(pm_f, mask_f, sigma=1, edges=True)
+        else:
+            pm_contact = self.gen_contact(pm_img, mask_unc, sigma=1, edges=True)
 
-        item["img"] = _normalize(img, constants.IMG_NORM_MEAN, constants.IMG_NORM_STD)
-        item["ir_img"] = _normalize(ir_img, constants.IR_NORM_MEAN, constants.IR_NORM_STD)
-        item["depth_img"] = _normalize(depth_img, constants.DEPTH_NORM_MEAN, constants.DEPTH_NORM_STD)
-        item["pm_img"] = _normalize(pm_img, constants.PM_NORM_MEAN, constants.PM_NORM_STD)
-        item["img_uncover"] = img_unc
-        item["ir_img_uncover"] = _normalize(ir_unc, constants.IR_NORM_MEAN, constants.IR_NORM_STD)
-        item["depth_img_uncover"] = _normalize(
-            depth_unc, constants.DEPTH_NORM_MEAN, constants.DEPTH_NORM_STD
-        )
-        item["pm_img_uncover"] = _normalize(pm_unc, constants.PM_NORM_MEAN, constants.PM_NORM_STD)
-        item["mask_uncover"] = mask_unc.astype(np.float32)
+        if u8:
+            # uint8 feed: ship the post-crop/flip uint8 images + the noise
+            # factors; decode_uint8_batch applies clip(u8*pn)/255 and the
+            # per-modality normalization inside the jitted train step.
+            item["img"] = img
+            item["ir_img"] = ir_img
+            item["depth_img"] = depth_img
+            item["pm_img"] = pm_img
+            item["img_uncover"] = img_unc
+            item["ir_img_uncover"] = ir_unc
+            item["depth_img_uncover"] = depth_unc
+            item["pm_img_uncover"] = pm_unc
+            item["mask_uncover"] = mask_unc
+            item["pixel_noise"] = np.asarray(pn[:3], np.float32)
+        else:
+            item["img"] = _normalize(img, constants.IMG_NORM_MEAN, constants.IMG_NORM_STD)
+            item["ir_img"] = _normalize(ir_img, constants.IR_NORM_MEAN, constants.IR_NORM_STD)
+            item["depth_img"] = _normalize(depth_img, constants.DEPTH_NORM_MEAN, constants.DEPTH_NORM_STD)
+            item["pm_img"] = _normalize(pm_img, constants.PM_NORM_MEAN, constants.PM_NORM_STD)
+            item["img_uncover"] = img_unc
+            item["ir_img_uncover"] = _normalize(ir_unc, constants.IR_NORM_MEAN, constants.IR_NORM_STD)
+            item["depth_img_uncover"] = _normalize(
+                depth_unc, constants.DEPTH_NORM_MEAN, constants.DEPTH_NORM_STD
+            )
+            item["pm_img_uncover"] = _normalize(pm_unc, constants.PM_NORM_MEAN, constants.PM_NORM_STD)
+            item["mask_uncover"] = mask_unc.astype(np.float32)
         item["pm_contact"] = pm_contact.astype(np.float32)
 
         item["pose"] = self.pose_processing(pose, rot, flip)

@@ -84,3 +84,51 @@ def make_device_preprocess(res: int = constants.IMG_RES):
         return out
 
     return preprocess
+
+
+# Per-key normalization stats for the uint8 training feed.  None = no
+# normalization (the mask is compared in [0,1]).  The uncover recovery
+# targets are normalized with their modality's stats exactly like the host
+# path (dataset.py item assembly).
+_UINT8_FEED_STATS = {
+    "img": ("IMG_NORM_MEAN", "IMG_NORM_STD"),
+    "ir_img": ("IR_NORM_MEAN", "IR_NORM_STD"),
+    "depth_img": ("DEPTH_NORM_MEAN", "DEPTH_NORM_STD"),
+    "pm_img": ("PM_NORM_MEAN", "PM_NORM_STD"),
+    "ir_img_uncover": ("IR_NORM_MEAN", "IR_NORM_STD"),
+    "depth_img_uncover": ("DEPTH_NORM_MEAN", "DEPTH_NORM_STD"),
+    "pm_img_uncover": ("PM_NORM_MEAN", "PM_NORM_STD"),
+    "mask_uncover": None,
+}
+
+
+def decode_uint8_batch(batch):
+    """Device-side decode of the uint8 training feed (jittable, a no-op on
+    float batches).
+
+    The dataset's uint8 feed ships post-crop/flip uint8 images plus the
+    drawn channel-noise factors `pixel_noise` [B, 3]; this applies
+    clip(u8 * pn, 0, 255)/255 and the per-modality normalization — the
+    same ops, in the same order, as the host path
+    (dataset.rgb_processing/gray_processing + _normalize); the only
+    difference is that the host's noise multiply rounds through float64,
+    so results agree to one float32 ulp while H2D traffic shrinks 4x.  Fused into the train
+    step by the trainer (one jit program: decode + fwd + bwd + Adam).
+    """
+    if "pixel_noise" not in batch:
+        return batch
+    out = dict(batch)
+    pn = batch["pixel_noise"]  # [B, 3]
+    for key, stat_names in _UINT8_FEED_STATS.items():
+        x = out.get(key)
+        if x is None or x.dtype != jnp.uint8:
+            continue
+        nch = x.shape[-1]
+        n = pn[:, :nch] if nch == 3 else pn[:, :1]
+        xf = jnp.clip(x.astype(jnp.float32) * n[:, None, None, :], 0.0, 255.0) / 255.0
+        if stat_names is not None:
+            mean = jnp.asarray(getattr(constants, stat_names[0]))
+            std = jnp.asarray(getattr(constants, stat_names[1]))
+            xf = (xf - mean) / std
+        out[key] = xf
+    return out

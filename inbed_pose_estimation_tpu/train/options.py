@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "host preprocessing — covers the full augmentation "
                           "distribution (not bit-identical to the reference "
                           "resampler)")
+    tpu.add_argument("--uint8_feed", default=True,
+                     action=argparse.BooleanOptionalAction,
+                     help="Ship post-crop uint8 images to the device and fuse "
+                          "noise+normalize into the train step (4x less H2D "
+                          "traffic; matches the f32 feed to 1 ulp).  --no-uint8_feed "
+                          "restores the host-normalized float32 feed")
     return p
 
 

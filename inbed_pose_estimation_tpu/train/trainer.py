@@ -60,10 +60,46 @@ class TrainState(NamedTuple):
 STEP_KEYS = (
     "img", "ir_img", "depth_img", "pm_img",
     "depth_img_uncover", "ir_img_uncover", "pm_img_uncover",
-    "mask_uncover", "pm_contact",
+    "mask_uncover", "pm_contact", "pixel_noise",
     "keypoints", "pose", "betas", "pose_3d", "has_smpl", "has_pose_3d",
     "is_flipped", "rot_angle", "sample_index",
 )
+
+_SCALAR_FEED_KEYS = (
+    "keypoints", "pose", "betas", "pose_3d", "has_smpl", "has_pose_3d",
+    "is_flipped", "rot_angle", "sample_index", "pixel_noise",
+)
+
+
+def step_feed_keys(spec) -> frozenset:
+    """The exact batch keys the compiled step for this model family reads.
+
+    jit dead-code-eliminates unused INPUTS, but the feed loop transfers
+    whatever it is given first — at 224^2 the full item dict is ~3 MB of
+    float32 per sample, most of it uncover channels only some families'
+    losses consume.  Feeding only the consumed keys (and uint8 where the
+    dataset's uint8 feed is on) is what keeps the H2D phase off the
+    critical path.  Mirrors the conditional loss assembly in
+    make_train_step (`if uncover_key.get(name) in batch`), which is keyed
+    on presence, so the filter must match it exactly or a loss term would
+    silently vanish.
+    """
+    unc = {"depth": "depth_img_uncover", "ir": "ir_img_uncover",
+           "pm": "pm_img_uncover"}
+    keys = set(spec.modalities) | set(_SCALAR_FEED_KEYS)
+    for name in spec.recon_heads:
+        keys.add(unc[name])
+    if spec.input_mode == "fusion":
+        # Mask supervision + mask-gated recovery of every input modality.
+        keys.add("mask_uncover")
+        for m in spec.modalities:
+            short = {"ir_img": "ir", "depth_img": "depth", "pm_img": "pm"}.get(m)
+            if short:
+                keys.add(unc[short])
+    if spec.input_mode == "pm_contact":
+        keys.add("pm_contact")
+        keys.add("mask_uncover")  # bar mode-0 mask loss
+    return frozenset(keys)
 
 
 def make_train_step(model, spec, smpl_model: SMPLModel, prior, options, bar_mode: str = "0"):
@@ -95,7 +131,7 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options, bar_mode
         return out.vertices, out.joints, kp2d, cam_t
 
     def loss_fn(params, batch_stats, fits, batch, rng):
-        B = batch["img"].shape[0]
+        B = batch["keypoints"].shape[0]  # always fed (batch["img"] is not for 1-mod families)
         gt_kp2d = batch["keypoints"]
         gt_pose = batch["pose"]
         gt_betas = batch["betas"]
@@ -382,7 +418,17 @@ class Trainer:
         self.n_devices = n
 
         step_fn, self.tx = make_train_step(model, spec, smpl_model, prior, options)
-        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        # uint8-feed decode fused into the step program (no-op on float
+        # batches, so tests/profilers feeding f32 share the same wrapper).
+        from ..data.device_preprocess import decode_uint8_batch
+
+        def wrap(fn):
+            return jax.jit(lambda state, batch: fn(state, decode_uint8_batch(batch)),
+                           donate_argnums=(0,))
+
+        self.train_step = wrap(step_fn)
+        self.feed_keys = step_feed_keys(spec)
         self._mode1_step = None
         if spec.input_mode == "pm_contact":
             # Bodies-At-Rest epoch schedule: pre-build the post-mod1_epoch
@@ -390,7 +436,7 @@ class Trainer:
             step1_fn, _ = make_train_step(
                 model, spec, smpl_model, prior, options, bar_mode="1"
             )
-            self._mode1_step = jax.jit(step1_fn, donate_argnums=(0,))
+            self._mode1_step = wrap(step1_fn)
 
         # Init or resume.  Init args mirror the model family's input mode.
         rng = jax.random.PRNGKey(options.seed)
@@ -568,7 +614,8 @@ class Trainer:
                     break
                 batch_idx, batch = got
                 with timer.phase("dispatch"):
-                    num_batch = {k: jnp.asarray(batch[k]) for k in STEP_KEYS if k in batch}
+                    num_batch = {k: jnp.asarray(batch[k]) for k in STEP_KEYS
+                                 if k in batch and k in self.feed_keys}
                     num_batch = jax.device_put(num_batch, bsharding)
                     self.state, metrics = self.train_step(self.state, num_batch)
                 self.step_count += 1
@@ -589,6 +636,7 @@ class Trainer:
                           " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
                           f" | {timer.summary()} wall_step="
                           f"{1000.0 * wall / window_steps:.1f}ms ips={ips:.1f}")
+                    timer.reset()  # window means, not a compile-seeded EMA
                     window_t0, window_steps = time.time(), 0
 
                 if self.step_count % opts.checkpoint_steps == 0:

@@ -21,7 +21,14 @@ import jax
 
 
 class StepTimer:
-    """Exponential-moving-average phase timer.
+    """Windowed-mean phase timer.
+
+    Phase times are arithmetic means since the last `reset()` — NOT a
+    running EMA: an EMA seeded by the first (compile-heavy, ~100x) steps
+    takes hundreds of steps to decay to steady state, so every printed
+    line would still be compile-contaminated.  The trainer resets the
+    window at each summary, making each printed line the honest mean of
+    its own summary window.
 
     Usage:
         timer = StepTimer()
@@ -29,23 +36,27 @@ class StepTimer:
             batch = next(loader)
         with timer.phase("step"):
             state, metrics = train_step(state, batch)  # sync inside
-        print(timer.summary(batch_size))
+        print(timer.summary(batch_size)); timer.reset()
     """
 
-    def __init__(self, ema: float = 0.9):
-        self.ema = ema
-        self.means: Dict[str, float] = defaultdict(float)
+    def __init__(self, ema: float | None = None):  # ema kept for API compat
+        self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+
+    @property
+    def means(self) -> Dict[str, float]:
+        return {k: self.totals[k] / self.counts[k]
+                for k in self.totals if self.counts[k]}
+
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
         t0 = time.perf_counter()
         yield
-        dt = time.perf_counter() - t0
-        if self.counts[name] == 0:
-            self.means[name] = dt
-        else:
-            self.means[name] = self.ema * self.means[name] + (1 - self.ema) * dt
+        self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 
     def images_per_sec(self, batch_size: int, phase: str = "step") -> float:

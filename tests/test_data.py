@@ -208,3 +208,78 @@ def test_fits_store_multi_dataset_no_cross_contamination(tmp_path):
     assert b_out.shape == (6, 82)
     assert float(b_out[1, 0]) == pytest.approx(0.25, abs=1e-5)
     assert float(b_out[1, 72]) == 3.0
+
+
+def test_uint8_feed_bit_identical_to_host_path(synth_env):
+    """The uint8 training feed (post-crop uint8 + device-side
+    clip(u8*pn)/255 + normalize, data/device_preprocess.decode_uint8_batch)
+    reproduces the host-normalized float32 items to within ONE float32 ulp
+    (the host multiplies the noise factor in float64 before rounding into
+    the f32 buffer; the device multiplies in f32 — same ops otherwise)."""
+    import jax.numpy as jnp
+
+    from inbed_pose_estimation_tpu.data.device_preprocess import decode_uint8_batch
+
+    _, ds_mod = synth_env
+
+    class Opt:
+        noise_factor, rot_factor, scale_factor = 0.4, 15.0, 0.15
+        data_train = "slp-4mod-train"
+        img_res = 64
+
+    class OptU8(Opt):
+        uint8_feed = True
+
+    ds_f32 = ds_mod.BaseDataset(Opt(), "slp-4mod-train", is_train=True)
+    ds_u8 = ds_mod.BaseDataset(OptU8(), "slp-4mod-train", is_train=True)
+
+    a = ds_f32.__getitem__(0, rng=np.random.default_rng(11))
+    b = ds_u8.__getitem__(0, rng=np.random.default_rng(11))
+
+    keys = ("img", "ir_img", "depth_img", "pm_img",
+            "ir_img_uncover", "depth_img_uncover", "pm_img_uncover",
+            "mask_uncover")
+    for k in keys:
+        assert b[k].dtype == np.uint8, k
+    batch = {k: jnp.asarray(b[k])[None] for k in keys}
+    batch["pixel_noise"] = jnp.asarray(b["pixel_noise"])[None]
+    decoded = decode_uint8_batch(batch)
+    for k in keys:
+        # rtol covers normalized channels whose small std amplifies the ulp
+        # (|x| up to ~1/std after (x-mean)/std).
+        np.testing.assert_allclose(
+            np.asarray(decoded[k][0]), a[k], rtol=3e-7, atol=1e-6, err_msg=k)
+    # Non-image keys agree too (same aug draws), incl. the host-computed
+    # contact map from the noised pm view.
+    np.testing.assert_array_equal(a["pm_contact"], b["pm_contact"])
+    np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+    # float batches pass through decode untouched.
+    f32_batch = {"img": jnp.asarray(a["img"])[None]}
+    assert decode_uint8_batch(f32_batch) is f32_batch
+
+
+def test_step_feed_keys_match_loss_assembly():
+    """The trainer's per-family feed filter must cover exactly what the
+    step's conditional loss assembly reads — a missing key silently drops
+    a loss term (make_train_step keys losses on batch membership)."""
+    from inbed_pose_estimation_tpu.models.factory import get_spec
+    from inbed_pose_estimation_tpu.train.trainer import step_feed_keys
+
+    ks = step_feed_keys(get_spec("cashmrV2"))
+    assert "depth_img_uncover" in ks and "ir_img_uncover" not in ks
+    assert "mask_uncover" not in ks and "pm_contact" not in ks
+
+    ks = step_feed_keys(get_spec("irhmr"))
+    assert "ir_img" in ks and "img" not in ks
+
+    ks = step_feed_keys(get_spec("rec3hmr"))
+    assert {"depth_img_uncover", "ir_img_uncover", "pm_img_uncover"} <= ks
+
+    ks = step_feed_keys(get_spec("ir_depth_fusion"))
+    assert {"mask_uncover", "ir_img_uncover", "depth_img_uncover"} <= ks
+
+    ks = step_feed_keys(get_spec("bodiesAtRest"))
+    assert {"pm_contact", "mask_uncover", "pm_img"} <= ks
+
+    for name in ("cashmrV2", "bodiesAtRest", "ir_depth_fusion"):
+        assert {"keypoints", "sample_index", "pixel_noise"} <= step_feed_keys(get_spec(name))

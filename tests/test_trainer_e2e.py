@@ -50,6 +50,10 @@ class _Options:
     test_steps = 0
     time_to_run = 10**9
     pretrained_checkpoint = None
+    # Exercise the TPU-native uint8 feed (post-crop uint8 H2D + in-step
+    # decode) — the production default; matches the f32 feed to 1 ulp
+    # (tests/test_data.py::test_uint8_feed_bit_identical_to_host_path).
+    uint8_feed = True
 
 
 @pytest.mark.slow
