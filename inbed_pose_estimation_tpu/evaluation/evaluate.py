@@ -166,6 +166,17 @@ def run_evaluation(
     # partial SMPL GT (the reference never populates PVE at all,
     # eval.py:104-106; this metric is our own claim, so it must be honest).
     pve_valid = np.zeros(n, dtype=bool)
+    pending_pose = []  # parked device metrics; see the deferred-fetch note
+
+    def drain_pose():
+        for plo, phi, pbs, err_d, pa_d, pv_d, pvalid in pending_pose:
+            mpjpe[plo:phi] = np.asarray(err_d)[:pbs]
+            recon_err[plo:phi] = np.asarray(pa_d)[:pbs]
+            if pv_d is not None:
+                pve[plo:phi] = np.asarray(pv_d)[:pbs] * pvalid
+                pve_valid[plo:phi] = pvalid
+        pending_pose.clear()
+
     accuracy = 0.0
     pixel_count = 0
     tp = np.zeros(2)
@@ -257,23 +268,27 @@ def run_evaluation(
         if eval_pose:
             gt_kp3d = dev_batch["pose_3d"][:, jm_gt, :3]
             pred17 = preds["keypoints_3d_17"]
-            err = np.asarray(
-                jnp.sqrt(jnp.sum((pred17 - gt_kp3d) ** 2, axis=-1)).mean(axis=-1)
-            )
-            mpjpe[lo:hi] = err[:bs]
-            recon_err[lo:hi] = np.asarray(pa_fn(pred17, jnp.asarray(gt_kp3d)))[:bs]
+            err_dev = jnp.sqrt(jnp.sum((pred17 - gt_kp3d) ** 2, axis=-1)).mean(axis=-1)
+            pa_dev = pa_fn(pred17, jnp.asarray(gt_kp3d))
 
             # PVE vs GT SMPL mesh when GT pose/shape exist.
+            pv_dev = None
+            valid = np.zeros(bs, dtype=bool)
             if np.any(batch["has_smpl"] > 0):
                 gt_verts = gt_vertices_fn(
                     jnp.asarray(dev_batch["betas"]), jnp.asarray(dev_batch["pose"])
                 )
-                pv = np.asarray(
-                    jnp.sqrt(jnp.sum((preds["vertices"] - gt_verts) ** 2, axis=-1)).mean(axis=-1)
-                )
+                pv_dev = jnp.sqrt(
+                    jnp.sum((preds["vertices"] - gt_verts) ** 2, axis=-1)
+                ).mean(axis=-1)
                 valid = np.asarray(batch["has_smpl"] > 0)
-                pve[lo:hi] = pv[:bs] * valid
-                pve_valid[lo:hi] = valid
+            # Deferred fetch: the device arrays are parked and materialized
+            # at drain points (periodic log + end of loop), so back-to-back
+            # batches keep multiple inference dispatches in flight instead
+            # of paying a host round trip per batch (same pipelined-dispatch
+            # pattern as bench.py; per-dispatch overhead on the remote
+            # tunnel is ~40 ms — PARITY.md MFU section).
+            pending_pose.append((lo, hi, bs, err_dev, pa_dev, pv_dev, valid))
 
         if eval_masks:
             masks = np.asarray(mask_fn(preds["vertices"], preds["cam"]))[..., 0]
@@ -347,9 +362,11 @@ def run_evaluation(
             )
 
         if log_freq and step % log_freq == log_freq - 1 and eval_pose:
+            drain_pose()
             print(f"MPJPE: {1000 * mpjpe[:hi].mean()}")
             print(f"Reconstruction Error: {1000 * recon_err[:hi].mean()}")
 
+    drain_pose()
     results = {
         "mpjpe": 1000 * mpjpe.mean() if eval_pose else None,
         "pa_mpjpe": 1000 * recon_err.mean() if eval_pose else None,
