@@ -155,6 +155,11 @@ def run_evaluation(
                 num_vertices=smpl_model.v_template.shape[0]
             ),
             num_cas_iters=num_cas_iters,
+            # The final cascade stage's image reconstructions only matter
+            # for the artifact dumps — for metric-only eval the lazy heads
+            # skip that decoder pass entirely (the reference always computes
+            # and discards it, eval.py:171-178).
+            final_recon=result_file is not None,
         )
     )
 
