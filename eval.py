@@ -118,7 +118,20 @@ def main():
         from inbed_pose_estimation_tpu.train.checkpoint import merge_tolerant
 
         variables = dict(variables)
+        # Merge order: checkpoint first, EXPLICIT guide last — like the
+        # reference, which loads the main checkpoint and then separately
+        # loads the fusion guide over it (eval.py:529-538).  Grafting the
+        # guide before the checkpoint would let a flax checkpoint's own
+        # (possibly random-init) guide subtree silently win.
+        if loaded is not None:
+            variables = merge_tolerant(variables, loaded)
         if args.pretrained_fusion_checkpoint:
+            if not frozen_guided:
+                print(f"WARNING: --pretrained_fusion_checkpoint is only "
+                      f"consumed by the FrozenGuidedFusion pipelines "
+                      f"(ir_depth_pm_fusion / ir_depth_pm_rgb_fusion); "
+                      f"'{args.model}' has no 'guide' submodule, so the "
+                      f"flag is IGNORED")
             gck = args.pretrained_fusion_checkpoint
             if gck.endswith(".pt"):
                 guide_vars, _ = load_torch_checkpoint(gck)
@@ -127,12 +140,10 @@ def main():
             variables = merge_tolerant(
                 variables, {coll: {"guide": tree} for coll, tree in guide_vars.items()}
             )
-        elif frozen_guided and loaded is not None:
+        elif frozen_guided and loaded is not None and args.checkpoint.endswith(".pt"):
             print("WARNING: no --pretrained_fusion_checkpoint — the frozen "
                   "ir_depth_fusion guide keeps random init; metrics are "
                   "meaningless for this pipeline")
-        if loaded is not None:
-            variables = merge_tolerant(variables, loaded)
 
     splits = [args.dataset] if args.dataset else [
         "slp-4mod-cover2", "slp-4mod-uncover", "slp-4mod-cover1"

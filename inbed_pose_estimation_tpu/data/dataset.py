@@ -69,6 +69,10 @@ class BaseDataset:
         # decode_uint8_batch).  4x less H2D traffic per step; the math
         # matches the host path to one float32 ulp (same clip(u8*pn)/255 ->
         # (x-m)/s, device-side in f32 where the host rounds through f64).
+        # Under --fast_preprocess the native kernel's interpolated float
+        # output is re-quantized to bytes first (rint), adding up to
+        # 0.5/255 per pixel — consistent with that path's documented
+        # not-bit-exact contract, but NOT 1-ulp.
         self.uint8_feed = bool(getattr(options, "uint8_feed", False)) and is_train
         if self.fast_preprocess:
             from ..ops import native as _native

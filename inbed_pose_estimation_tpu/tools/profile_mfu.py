@@ -96,21 +96,23 @@ def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int =
         j_regressor_h36m=load_j_regressor_h36m(num_vertices=smpl_model.v_template.shape[0]),
         num_cas_iters=num_cas, final_recon=False,
     )
-    jitted = jax.jit(fn)
-    lowered = jitted.lower(variables, inputs)
-    compiled = lowered.compile()
+    # One AOT compile, used for BOTH the cost analysis and the timing
+    # loop — calling the jitted wrapper after .lower().compile() would
+    # trace+compile the same program a second time (cold sweeps paid every
+    # multi-minute compile twice).
+    compiled = jax.jit(fn).lower(variables, inputs).compile()
     flops = _flops_from_cost_analysis(compiled)
     flops_src = "xla_cost_analysis"
     if flops is None:
         flops = _analytic_inference_flops(batch, res, num_cas)
         flops_src = "analytic"
 
-    out = jitted(variables, inputs)
+    out = compiled(variables, inputs)
     float(jnp.sum(out["cam"]))
     acc, pending = 0.0, None
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jitted(variables, inputs)
+        out = compiled(variables, inputs)
         if pending is not None:
             acc += float(jnp.sum(pending))
         pending = out["cam"]
@@ -199,8 +201,9 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
         step=jnp.zeros((), jnp.int32),
     )
 
-    jitted = jax.jit(step_fn)  # no donation: we re-feed the same state
-    compiled = jitted.lower(state, data).compile()
+    # no donation (we re-feed the same state); single AOT compile serves
+    # cost analysis AND the timing loop (see profile_inference).
+    compiled = jax.jit(step_fn).lower(state, data).compile()
     flops = _flops_from_cost_analysis(compiled)
     flops_src = "xla_cost_analysis"
     if flops is None:
@@ -208,11 +211,11 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
         flops = 3.0 * _analytic_inference_flops(B, res, num_cas)
         flops_src = "analytic"
 
-    new_state, metrics = jitted(state, data)
+    new_state, metrics = compiled(state, data)
     float(metrics["loss"])  # warmup + force completion
     t0 = time.perf_counter()
     for _ in range(iters):
-        new_state, metrics = jitted(state, data)
+        new_state, metrics = compiled(state, data)
         _ = float(metrics["loss"])  # per-iter fetch (see module docstring)
     dt = (time.perf_counter() - t0) / iters
 

@@ -92,7 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                      action=argparse.BooleanOptionalAction,
                      help="Ship post-crop uint8 images to the device and fuse "
                           "noise+normalize into the train step (4x less H2D "
-                          "traffic; matches the f32 feed to 1 ulp).  --no-uint8_feed "
+                          "traffic; matches the f32 feed to 1 ulp — except under "
+                          "--fast_preprocess, whose kernel output is "
+                          "re-quantized to bytes).  --no-uint8_feed "
                           "restores the host-normalized float32 feed")
     return p
 

@@ -40,9 +40,15 @@ def _host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
+                # Accumulate until BOTH the model name and the feature
+                # flags are in — cloud VMs often share a generic masked
+                # model string while exposing different feature sets, and
+                # the AOT cache is keyed by those features (stopping at
+                # the first match would omit them).
                 if line.startswith(("flags", "Features", "model name")):
                     material += line
-                    break
+                    if line.startswith(("flags", "Features")):
+                        break
     except OSError:
         pass
     return hashlib.md5(material.encode()).hexdigest()[:10]

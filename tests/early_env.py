@@ -24,8 +24,21 @@ e.g. for debugging XLA itself).
 import os
 import sys
 
+def _plain_pytest_cli() -> bool:
+    """Only re-exec invocations we can faithfully reconstruct as
+    `python -m pytest <argv[1:]>`: the console script or `python -m
+    pytest`.  Wrappers calling pytest.main() programmatically (coverage
+    runs, CI drivers) keep their own process — better occasional log spam
+    than silently dropping their instrumentation."""
+    head = os.path.basename(sys.argv[0] or "")
+    return head in ("pytest", "py.test") or (
+        head == "__main__.py" and os.path.basename(os.path.dirname(sys.argv[0])) == "pytest"
+    )
+
+
 if (os.environ.get("TF_CPP_MIN_LOG_LEVEL") != "3"
-        and not os.environ.get("INBED_TESTS_NO_REEXEC")):
+        and not os.environ.get("INBED_TESTS_NO_REEXEC")
+        and _plain_pytest_cli()):
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.environ["INBED_TESTS_NO_REEXEC"] = "1"
     # `-m pytest` rather than sys.argv[0]: argv[0] is pytest/__main__.py
