@@ -19,9 +19,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices share ONE core here: a collective's rendezvous
+    # threads can be starved past XLA's default stuck-thread terminate
+    # timeout, which SIGABRTs the whole pytest process (observed
+    # intermittently on the full cashmrV2 fwd+bwd mesh tests — always a
+    # false positive; XLA itself logs "Thread is unstuck!" when it
+    # survives).  Raise the kill threshold; keep a short warn.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=60"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
