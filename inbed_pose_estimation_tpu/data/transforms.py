@@ -56,19 +56,34 @@ def transform(pt, center, scale, res, invert=0, rot=0):
     return new_pt[:2].astype(int) + 1
 
 
+def _bytescale(arr: np.ndarray) -> np.ndarray:
+    """scipy 1.2 ``pilutil.bytescale`` with the reference's default args
+    (cmin/cmax from data, high=255, low=0).  Bit-compared against the
+    vendored scipy source in tests/test_scipy_oracle.py.
+
+    Semantics that matter for bit parity (the reference feeds float32
+    images, base_dataset.py:259): per-array [min,max] -> [0,255] contrast
+    stretch, scale computed as ``float(255)/cscale`` THEN multiplied, and
+    round-half-up (``+0.5`` after clip), not truncation.
+    """
+    if arr.dtype == np.uint8:
+        return arr
+    cmin = arr.min()
+    cmax = arr.max()
+    cscale = cmax - cmin
+    if cscale == 0:
+        cscale = 1
+    scale = float(255) / cscale
+    bytedata = (arr - cmin) * scale
+    return (bytedata.clip(0, 255) + 0.5).astype(np.uint8)
+
+
 def _imresize_uint8(img: np.ndarray, size, interp="bilinear") -> np.ndarray:
     """scipy.misc.imresize work-alike: bytescale to uint8, PIL resize.
 
     `size` is (height, width).  Returns uint8.
     """
-    arr = img
-    if arr.dtype != np.uint8:
-        # scipy.misc.bytescale: scale [min,max] -> [0,255].
-        lo, hi = float(np.nanmin(arr)), float(np.nanmax(arr))
-        if hi == lo:
-            arr = np.zeros_like(arr, dtype=np.uint8)
-        else:
-            arr = ((arr - lo) * 255.0 / (hi - lo)).astype(np.uint8)
+    arr = _bytescale(img)
     mode = {"bilinear": Image.BILINEAR, "nearest": Image.NEAREST}[interp]
     pil = Image.fromarray(arr)
     out = pil.resize((int(size[1]), int(size[0])), mode)
@@ -77,14 +92,7 @@ def _imresize_uint8(img: np.ndarray, size, interp="bilinear") -> np.ndarray:
 
 def _imrotate_uint8(img: np.ndarray, angle: float) -> np.ndarray:
     """scipy.misc.imrotate work-alike (bytescale + PIL rotate, bilinear)."""
-    arr = img
-    if arr.dtype != np.uint8:
-        lo, hi = float(np.nanmin(arr)), float(np.nanmax(arr))
-        if hi == lo:
-            arr = np.zeros_like(arr, dtype=np.uint8)
-        else:
-            arr = ((arr - lo) * 255.0 / (hi - lo)).astype(np.uint8)
-    pil = Image.fromarray(arr)
+    pil = Image.fromarray(_bytescale(img))
     out = pil.rotate(angle, resample=Image.BILINEAR)
     return np.asarray(out)
 
