@@ -8,10 +8,7 @@ This retires the self-authored twin (tools/torch_ref.py) as the parity
 oracle; the twin remains only as the CPU baseline-timing harness.
 """
 
-import importlib.util
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -35,38 +32,10 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_hmr():
-    """Import the genuine reference models/hmr.py with a torchvision stub.
+    """Import the genuine reference models/hmr.py (tests/ref_import.py)."""
+    from tests.ref_import import import_reference_models_hmr
 
-    A bare `utils` package module (with __path__ into the reference tree)
-    lets `from utils.geometry import ...` resolve WITHOUT executing the
-    reference utils/__init__.py, which drags in its full trainer stack.
-    """
-    stubbed = []
-    for name in ("torchvision", "torchvision.models", "torchvision.models.resnet"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-            stubbed.append(name)
-    utils_pkg = types.ModuleType("utils")
-    utils_pkg.__path__ = [os.path.join(REFERENCE_ROOT, "utils")]
-    had_utils = sys.modules.get("utils")
-    sys.modules["utils"] = utils_pkg
-    stubbed_utils = [k for k in list(sys.modules) if k.startswith("utils.")]
-    saved_submodules = {k: sys.modules.pop(k) for k in stubbed_utils}
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "reference_models_hmr", os.path.join(REFERENCE_ROOT, "models", "hmr.py")
-        )
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-    finally:
-        for name in stubbed:
-            del sys.modules[name]
-        for k in [k for k in list(sys.modules) if k == "utils" or k.startswith("utils.")]:
-            del sys.modules[k]
-        if had_utils is not None:
-            sys.modules["utils"] = had_utils
-        sys.modules.update(saved_submodules)
-    return mod
+    return import_reference_models_hmr()
 
 
 @pytest.fixture(scope="module")
