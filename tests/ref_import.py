@@ -67,3 +67,60 @@ def import_reference_pose_utils():
     return import_reference_file(
         os.path.join("utils", "pose_utils.py"), "reference_pose_utils"
     )
+
+
+def import_reference_smplify():
+    """Import the genuine reference smplify package (smplify/smplify.py with
+    its real .losses and .prior siblings).
+
+    Needed stubs: `constants` -> the real reference constants.py;
+    `config` -> bare module (only touched inside SMPLify.__init__, which
+    oracle tests bypass via __new__); `models.smpl` -> bare SMPL symbol
+    (same reason); `utils` -> namespace package over the reference tree so
+    `from utils.geometry import perspective_projection` is the REAL one.
+    """
+    import importlib
+
+    saved = {}
+
+    def _stash(name, module):
+        if name in sys.modules:
+            saved[name] = sys.modules[name]
+        sys.modules[name] = module
+
+    ref_constants = import_reference_file("constants.py", "reference_constants_smplify")
+    _stash("constants", ref_constants)
+
+    config_stub = types.ModuleType("config")
+    config_stub.SMPL_MODEL_DIR = ""
+    _stash("config", config_stub)
+
+    models_stub = types.ModuleType("models")
+    models_stub.__path__ = []
+    models_smpl_stub = types.ModuleType("models.smpl")
+    models_smpl_stub.SMPL = object
+    _stash("models", models_stub)
+    _stash("models.smpl", models_smpl_stub)
+
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = [os.path.join(REFERENCE_ROOT, "utils")]
+    _stash("utils", utils_pkg)
+    stashed_utils = {
+        k: sys.modules.pop(k) for k in list(sys.modules) if k.startswith("utils.")
+    }
+
+    pkg = types.ModuleType("ref_smplify")
+    pkg.__path__ = [os.path.join(REFERENCE_ROOT, "smplify")]
+    _stash("ref_smplify", pkg)
+
+    try:
+        return importlib.import_module("ref_smplify.smplify")
+    finally:
+        for name in ("constants", "config", "models", "models.smpl",
+                     "ref_smplify", "ref_smplify.smplify", "ref_smplify.losses",
+                     "ref_smplify.prior", "utils"):
+            sys.modules.pop(name, None)
+        for k in [k for k in list(sys.modules) if k.startswith("utils.")]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+        sys.modules.update(stashed_utils)
