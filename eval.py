@@ -28,6 +28,8 @@ parser.add_argument("--result_file", default=None, help="If set, save detections
 parser.add_argument("--num_cas_iters", default=2, type=int)
 parser.add_argument("--img_res", default=224, type=int)
 parser.add_argument("--no_masks", default=False, action="store_true")
+parser.add_argument("--crop_cache", default=None,
+                    help="Pre-decoded crop cache dir (tools/build_crop_cache.py)")
 parser.add_argument("--device_preprocess", default=False, action="store_true",
                     help="Fused on-device crop/normalize (raw uint8 decode on "
                          "host, one jit preprocess program per batch)")
@@ -69,6 +71,23 @@ def main():
 
     model, spec = build_model(args.model, smpl_mean_params=config.SMPL_MEAN_PARAMS)
     smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
+
+    # Gendered SMPL models for datasets whose GT joints come from gendered
+    # GT meshes (3dpw-style; reference loads male/female at eval.py:66-73).
+    smpl_gendered = None
+    try:
+        from inbed_pose_estimation_tpu.smpl.assets import load_smpl_model
+
+        smpl_gendered = (
+            load_smpl_model(config.SMPL_MODEL_DIR, "male"),
+            load_smpl_model(config.SMPL_MODEL_DIR, "female"),
+        )
+    except (FileNotFoundError, OSError, KeyError):
+        if args.allow_synthetic_assets:
+            from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+
+            # Distinct seeds so the gender switch is observable in tests.
+            smpl_gendered = (synthetic_smpl_model(seed=1), synthetic_smpl_model(seed=2))
 
     frozen_guided = args.model in ("ir_depth_pm_fusion", "ir_depth_pm_rgb_fusion")
     loaded = None
@@ -158,11 +177,13 @@ def main():
     class _Opt:
         img_res = args.img_res
         device_preprocess = use_device_pre
+        crop_cache = args.crop_cache
 
     for d in splits:
         ds = BaseDataset(_Opt(), d, is_train=False)
         run_evaluation(
             model, spec, variables, d, ds, smpl_model,
+            smpl_gendered=smpl_gendered,
             result_file=args.result_file,
             batch_size=args.batch_size,
             img_res=args.img_res,

@@ -100,11 +100,52 @@ def make_synthetic_slp(
     }
 
 
+def make_synthetic_3dpw(
+    root: str,
+    num_samples: int = 4,
+    img_hw: tuple[int, int] = (120, 160),
+    seed: int = 0,
+):
+    """Write a 3DPW-layout split (imageFiles/<seq>/image_XXXXX.jpg) and
+    return index arrays matching the pw3d extractor's schema
+    (tools/preprocess/extras.py:133-165: imgname/center/scale/pose/shape/
+    gender/has_smpl — no packed S, which is exactly what forces the
+    gendered-GT eval path, reference eval.py:389-396)."""
+    rng = np.random.default_rng(seed)
+    H, W = img_hw
+    seq = "courtyard_synthetic_00"
+    os.makedirs(join(root, "imageFiles", seq), exist_ok=True)
+    imgnames, centers, scales, poses, shapes, genders = [], [], [], [], [], []
+    for i in range(num_samples):
+        cy, cx = H // 2 + rng.integers(-8, 8), W // 2 + rng.integers(-10, 10)
+        yy, xx = np.mgrid[0:H, 0:W]
+        blob = np.exp(-(((yy - cy) / (H * 0.3)) ** 2 + ((xx - cx) / (W * 0.15)) ** 2))
+        rgb = np.stack([(blob * 200).astype(np.uint8)] * 3, -1)
+        name = join("imageFiles", seq, f"image_{i:05d}.jpg")
+        cv2.imwrite(join(root, name), rgb)
+        imgnames.append(name)
+        centers.append([cx, cy])
+        scales.append(1.1 * max(H, W) / 200.0)
+        poses.append(rng.normal(0, 0.2, 72).astype(np.float32))
+        shapes.append(rng.normal(0, 0.5, 10).astype(np.float32))
+        genders.append(i % 2)
+    return {
+        "imgname": np.array(imgnames),
+        "center": np.array(centers, np.float32),
+        "scale": np.array(scales, np.float32),
+        "pose": np.array(poses, np.float32),
+        "shape": np.array(shapes, np.float32),
+        "gender": np.array(genders, np.int32),
+        "has_smpl": np.ones(num_samples, np.float32),
+    }
+
+
 def write_synthetic_environment(
     base_dir: str,
     num_subjects: int = 1,
     samples_per_subject: int = 4,
     seed: int = 0,
+    img_hw: tuple[int, int] = (120, 160),
 ) -> dict:
     """Create the full synthetic env: SLP tree + npz indexes + env vars dict.
 
@@ -117,7 +158,8 @@ def write_synthetic_environment(
     os.makedirs(npz_dir, exist_ok=True)
 
     index = make_synthetic_slp(
-        slp_root, num_subjects, samples_per_subject, seed=seed, covers=("uncover", "cover1")
+        slp_root, num_subjects, samples_per_subject, seed=seed,
+        covers=("uncover", "cover1"), img_hw=img_hw,
     )
     np.savez(join(npz_dir, "slp_4mod_train.npz"), **index)
 
@@ -129,5 +171,10 @@ def write_synthetic_environment(
         ("slp_4mod_cover2.npz", cover1_rows),
     ]:
         np.savez(join(npz_dir, name), **{k: v[rows] for k, v in index.items()})
+
+    pw3d_index = make_synthetic_3dpw(
+        join(data_root, "3DPW"), num_samples=max(3, samples_per_subject), seed=seed
+    )
+    np.savez(join(npz_dir, "3dpw_test.npz"), **pw3d_index)
 
     return {"data_root": data_root, "npz_path": npz_dir}

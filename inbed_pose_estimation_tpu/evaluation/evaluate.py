@@ -5,10 +5,13 @@ correctness re-design, not behavior:
   * the per-batch model dispatch + cascade + SMPL + 17-joint regression +
     pelvis centering + MPJPE + batched Procrustes run as ONE jit program
     (evaluation/pipeline.py) — the reference loops numpy SVDs per sample;
-  * the body-mask rasterization replacing neural_renderer is the scatter
-    splat (ops/mask_raster.py) — mask accuracy/F1 computed after `uncrop`
+  * the eval-time body mask replacing neural_renderer comes from a
+    filled-triangle z-buffer mesh rasterization (ops/tri_raster.py via
+    render/part_renderer.py, matching the reference's eval mechanism
+    part_utils.py:13-54) — mask accuracy/F1 computed after `uncrop`
     against GT uncover masks with the same filename rewriting
-    (eval.py:428-443);
+    (eval.py:428-443); the vertex splat (ops/mask_raster.py) remains the
+    IN-MODEL mask mechanism of the fusion families (models/hmr.py:1697);
   * PVE (per-vertex error) is actually implemented — the reference allocates
     the accumulators but never fills them (eval.py:104-106, dead code).
 """
@@ -26,7 +29,6 @@ import numpy as np
 from .. import config, constants
 from ..data.loader import CheckpointDataLoader
 from ..geometry import reconstruction_error
-from ..ops.mask_raster import render_body_mask
 from ..smpl.model import SMPLModel, smpl_forward
 from ..data.transforms import uncrop
 from .pipeline import make_inference_fn
@@ -112,6 +114,7 @@ def run_evaluation(
     dataset_name: str,
     dataset,
     smpl_model: SMPLModel,
+    smpl_gendered: Optional[tuple] = None,
     result_file: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     epoch: int = 0,
@@ -148,12 +151,11 @@ def run_evaluation(
     variables = jax.device_put(variables, replicated(mesh))
 
     n = len(dataset)
+    jreg_np = load_j_regressor_h36m(num_vertices=smpl_model.v_template.shape[0])
     infer = jax.jit(
         make_inference_fn(
             model, spec, smpl_model,
-            j_regressor_h36m=load_j_regressor_h36m(
-                num_vertices=smpl_model.v_template.shape[0]
-            ),
+            j_regressor_h36m=jreg_np,
             num_cas_iters=num_cas_iters,
             # The final cascade stage's image reconstructions only matter
             # for the artifact dumps — for metric-only eval the lazy heads
@@ -198,6 +200,34 @@ def run_evaluation(
     eval_pose = dataset_name.startswith("slp") or any(
         k in dataset_name for k in ("h36m", "3dpw", "mpi-inf")
     )
+    # GT source (reference eval.py:385-396): slp/h36m/mpi-inf carry packed
+    # 3D GT in pose_3d; 3dpw-style datasets get GT joints regressed from
+    # GENDERED GT SMPL meshes (per-sample gender==1 selects female).
+    packed_3d_gt = any(k in dataset_name for k in ("h36m", "mpi-inf", "slp"))
+    gendered_gt_fn = None
+    if eval_pose and not packed_3d_gt:
+        if smpl_gendered is not None:
+            smpl_male, smpl_female = smpl_gendered
+        else:
+            print("WARNING: no gendered SMPL models — gendered-GT eval "
+                  "falls back to the neutral model for both genders "
+                  "(reference loads male/female, eval.py:66-73)")
+            smpl_male = smpl_female = smpl_model
+        _jreg_j = jnp.asarray(jreg_np, jnp.float32)
+        _h36m_map = jnp.asarray(constants.H36M_TO_J17)
+        _prec = jax.lax.Precision.HIGHEST
+
+        def _gendered_gt(betas, pose, gender):
+            # reference eval.py:389-396
+            vm = smpl_forward(smpl_male, betas, pose_aa=pose).vertices
+            vf = smpl_forward(smpl_female, betas, pose_aa=pose).vertices
+            gv = jnp.where((gender == 1)[:, None, None], vf, vm)
+            k = jnp.einsum("jv,bvc->bjc", _jreg_j, gv, precision=_prec)
+            pelvis = k[:, 0:1, :]
+            k = k[:, _h36m_map, :] - pelvis
+            return k, gv
+
+        gendered_gt_fn = jax.jit(_gendered_gt)
     eval_masks = eval_masks_enabled and dataset_name.startswith("slp")
     eval_parts = eval_masks_enabled and dataset_name == "lsp"
     parts_tp = np.zeros(7)
@@ -207,13 +237,20 @@ def run_evaluation(
     parts_accuracy = 0.0
     parts_pixel_count = 0
     part_renderer = None
-    if eval_parts:
+    if eval_masks or eval_parts:
+        # ONE mesh rasterization serves both the mask and parts eval, like
+        # the reference's single part_renderer call (eval.py:417-418).
+        # Masks come from FILLED-TRIANGLE z-buffer rasterization of the
+        # SMPL mesh (the reference's eval mechanism, part_utils.py:13-54)
+        # — NOT the in-model vertex splat (models/hmr.py:1697-1739), which
+        # remains the fusion models' mask source (ops/mask_raster.py).
         from ..render.part_renderer import PartRenderer
 
         part_renderer = PartRenderer(
             render_res=img_res,
             num_vertices=smpl_model.v_template.shape[0],
             template=np.asarray(smpl_model.v_template),
+            faces=np.asarray(smpl_model.faces),
         )
     jm_gt = np.asarray(constants.J24_TO_J17)
 
@@ -227,7 +264,6 @@ def run_evaluation(
         drop_last=False,
     )
     gt_vertices_fn = jax.jit(lambda betas, pose: smpl_forward(smpl_model, betas, pose_aa=pose).vertices)
-    mask_fn = jax.jit(lambda verts, cam: render_body_mask(verts, cam, img_res=img_res))
     pa_fn = jax.jit(lambda a, b: reconstruction_error(a, b, reduction=None))
 
     # Fused on-device preprocessing (BASELINE north star): the dataset
@@ -271,16 +307,25 @@ def run_evaluation(
         preds = infer(variables, inputs)
 
         if eval_pose:
-            gt_kp3d = dev_batch["pose_3d"][:, jm_gt, :3]
+            gt_verts_gendered = None
+            if packed_3d_gt:
+                gt_kp3d = dev_batch["pose_3d"][:, jm_gt, :3]
+            else:
+                gt_kp3d, gt_verts_gendered = gendered_gt_fn(
+                    jnp.asarray(dev_batch["betas"], jnp.float32),
+                    jnp.asarray(dev_batch["pose"], jnp.float32),
+                    jnp.asarray(dev_batch["gender"]),
+                )
             pred17 = preds["keypoints_3d_17"]
             err_dev = jnp.sqrt(jnp.sum((pred17 - gt_kp3d) ** 2, axis=-1)).mean(axis=-1)
             pa_dev = pa_fn(pred17, jnp.asarray(gt_kp3d))
 
-            # PVE vs GT SMPL mesh when GT pose/shape exist.
+            # PVE vs GT SMPL mesh when GT pose/shape exist (gendered mesh on
+            # the gendered-GT path, neutral otherwise).
             pv_dev = None
             valid = np.zeros(bs, dtype=bool)
             if np.any(batch["has_smpl"] > 0):
-                gt_verts = gt_vertices_fn(
+                gt_verts = gt_verts_gendered if gt_verts_gendered is not None else gt_vertices_fn(
                     jnp.asarray(dev_batch["betas"]), jnp.asarray(dev_batch["pose"])
                 )
                 pv_dev = jnp.sqrt(
@@ -295,8 +340,11 @@ def run_evaluation(
             # tunnel is ~40 ms — PARITY.md MFU section).
             pending_pose.append((lo, hi, bs, err_dev, pa_dev, pv_dev, valid))
 
+        if (eval_masks or eval_parts) and part_renderer is not None:
+            masks_dev, parts_dev = part_renderer(preds["vertices"], preds["cam"])
+
         if eval_masks:
-            masks = np.asarray(mask_fn(preds["vertices"], preds["cam"]))[..., 0]
+            masks = np.asarray(masks_dev)
             for i in range(bs):
                 pred_mask = (
                     uncrop(
@@ -330,8 +378,7 @@ def run_evaluation(
 
         # LSP 6-part segmentation F1 (reference: eval.py:445-467).
         if eval_parts and part_renderer is not None:
-            _, parts_pred = part_renderer(preds["vertices"], preds["cam"])
-            parts_pred = np.asarray(parts_pred)
+            parts_pred = np.asarray(parts_dev)
             for i in range(bs):
                 pp = uncrop(
                     parts_pred[i].astype(np.uint8),

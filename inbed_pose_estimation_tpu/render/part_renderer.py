@@ -41,18 +41,37 @@ def vertex_part_labels(num_vertices: int, cube_parts_path: Optional[str] = None,
 
 
 class PartRenderer:
-    """mask, parts = renderer(vertices, camera) — part_utils.py parity API."""
+    """mask, parts = renderer(vertices, camera) — part_utils.py parity API.
+
+    With `faces` given, masks/parts come from FILLED-TRIANGLE z-buffer
+    rasterization (ops/tri_raster.py) like the reference's neural_renderer
+    (part_utils.py:18-22, anti_aliasing=False, no dilation); without faces
+    it falls back to the dilated vertex point-splat."""
 
     def __init__(self, focal_length: float = constants.FOCAL_LENGTH,
                  render_res: int = 128, num_vertices: int = constants.NUM_VERTICES,
                  part_labels: Optional[np.ndarray] = None,
-                 template: Optional[np.ndarray] = None):
+                 template: Optional[np.ndarray] = None,
+                 faces: Optional[np.ndarray] = None):
         self.focal_length = focal_length
         self.render_res = render_res
         self.labels = jnp.asarray(
             part_labels if part_labels is not None
             else vertex_part_labels(num_vertices, vertices_template=template)
         )
+        self.faces = None if faces is None else np.asarray(faces, np.int32)
+
+        @jax.jit
+        def _render_tri(vertices, camera):
+            from ..ops.tri_raster import rasterize_mesh_batch
+
+            B = vertices.shape[0]
+            res = self.render_res
+            cam_t = weak_perspective_to_cam_t(camera, self.focal_length, res)
+            eye = jnp.broadcast_to(jnp.eye(3, dtype=vertices.dtype), (B, 3, 3))
+            cc = jnp.full((B, 2), res / 2.0, vertices.dtype)
+            uvz = perspective_projection(vertices, eye, cam_t, self.focal_length, cc, out_3d=True)
+            return rasterize_mesh_batch(uvz, self.faces, res, labels=self.labels)
 
         @jax.jit
         def _render(vertices, camera):
@@ -94,7 +113,7 @@ class PartRenderer:
             )
             return jnp.maximum(m, 0.0), jnp.maximum(p, 0.0).astype(jnp.int32)
 
-        self._render = _render
+        self._render = _render_tri if self.faces is not None else _render
 
     def __call__(self, vertices, camera) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self._render(jnp.asarray(vertices), jnp.asarray(camera))

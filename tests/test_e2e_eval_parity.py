@@ -91,12 +91,23 @@ def mean_params_npz(tmp_path_factory):
 
 
 def _smpl_stub(smpl_model):
-    """Torch-callable neutral SMPL over our LBS (see module docstring)."""
-    from inbed_pose_estimation_tpu.smpl.model import lbs
+    """Torch-callable SMPL over our LBS (see module docstring).  Handles
+    both calling conventions the reference eval uses: rotmat inputs
+    (pose2rot=False, eval.py:290) and axis-angle GT poses (eval.py:390-391,
+    global_orient [B,3] / body_pose [B,69])."""
+    from inbed_pose_estimation_tpu.smpl.model import lbs, smpl_forward
 
     class SMPLStub(torch.nn.Module):
         def forward(self, betas=None, body_pose=None, global_orient=None,
-                    pose2rot=False):
+                    pose2rot=True):
+            if body_pose.dim() == 2:  # axis-angle
+                pose = jnp.concatenate(
+                    [jnp.asarray(global_orient.detach().numpy()),
+                     jnp.asarray(body_pose.detach().numpy())], axis=1)
+                out = smpl_forward(
+                    smpl_model, jnp.asarray(betas.detach().numpy()), pose_aa=pose)
+                return types.SimpleNamespace(
+                    vertices=torch.from_numpy(np.asarray(out.vertices)))
             rotmat = torch.cat([global_orient, body_pose], dim=1)
             verts, _ = lbs(smpl_model, jnp.asarray(betas.detach().numpy()),
                            jnp.asarray(rotmat.detach().numpy()))
@@ -112,7 +123,9 @@ def _nchw(x):
 
 def _reference_eval_numbers(ref_model, model_name, dataset, smpl_neutral,
                             J_regressor, ref_constants, ref_pose_utils,
-                            batch_size=2, num_cas_iters=2):
+                            batch_size=2, num_cas_iters=2,
+                            dataset_name="slp-4mod-uncover",
+                            smpl_male=None, smpl_female=None):
     """The reference run_evaluation pose path (eval.py:93-101, 148-199,
     290-291, 380-413, 492-494), fed from OUR dataset's batches."""
     from inbed_pose_estimation_tpu.data.loader import CheckpointDataLoader
@@ -128,13 +141,13 @@ def _reference_eval_numbers(ref_model, model_name, dataset, smpl_neutral,
                                   shuffle=False, num_workers=1, drop_last=False)
     for step, batch in loader:
         images = _nchw(batch["img"])
-        ir_img = _nchw(batch["ir_img"])
-        depth_img = _nchw(batch["depth_img"])
-        pm_img = _nchw(batch["pm_img"])
         curr_batch_size = images.shape[0]
 
         with torch.no_grad():
             if model_name == "cashmrV2":
+                ir_img = _nchw(batch["ir_img"])
+                depth_img = _nchw(batch["depth_img"])
+                pm_img = _nchw(batch["pm_img"])
                 # eval.py:171-178
                 (pred_rotmat_temp, pred_betas_temp, pred_camera_temp,
                  pred_depth_temp) = ref_model([images, ir_img, depth_img, pm_img])
@@ -153,11 +166,29 @@ def _reference_eval_numbers(ref_model, model_name, dataset, smpl_neutral,
                 global_orient=pred_rotmat[:, 0].unsqueeze(1), pose2rot=False)
             pred_vertices = pred_output.vertices
 
-        # eval.py:380-413 (device-free, 'slp' branch)
+        # eval.py:380-413 (device-free)
         J_regressor_batch = J_regressor[None, :].expand(
             pred_vertices.shape[0], -1, -1)
-        gt_keypoints_3d = torch.from_numpy(np.asarray(batch["pose_3d"], np.float32))
-        gt_keypoints_3d = gt_keypoints_3d[:, joint_mapper_gt, :-1]
+        if ("h36m" in dataset_name or "mpi-inf" in dataset_name
+                or "slp" in dataset_name):
+            gt_keypoints_3d = torch.from_numpy(np.asarray(batch["pose_3d"], np.float32))
+            gt_keypoints_3d = gt_keypoints_3d[:, joint_mapper_gt, :-1]
+        else:
+            # eval.py:389-396: gendered GT meshes
+            gt_pose = torch.from_numpy(np.asarray(batch["pose"], np.float32))
+            gt_betas = torch.from_numpy(np.asarray(batch["betas"], np.float32))
+            gender = torch.from_numpy(np.asarray(batch["gender"]))
+            gt_vertices = smpl_male(global_orient=gt_pose[:, :3],
+                                    body_pose=gt_pose[:, 3:],
+                                    betas=gt_betas).vertices
+            gt_vertices_female = smpl_female(global_orient=gt_pose[:, :3],
+                                             body_pose=gt_pose[:, 3:],
+                                             betas=gt_betas).vertices
+            gt_vertices[gender == 1, :, :] = gt_vertices_female[gender == 1, :, :]
+            gt_keypoints_3d = torch.matmul(J_regressor_batch, gt_vertices)
+            gt_pelvis = gt_keypoints_3d[:, [0], :].clone()
+            gt_keypoints_3d = gt_keypoints_3d[:, joint_mapper_h36m, :]
+            gt_keypoints_3d = gt_keypoints_3d - gt_pelvis
 
         pred_keypoints_3d = torch.matmul(J_regressor_batch, pred_vertices)
         pred_pelvis = pred_keypoints_3d[:, [0], :].clone()
@@ -178,13 +209,15 @@ def _reference_eval_numbers(ref_model, model_name, dataset, smpl_neutral,
     return 1000 * mpjpe.mean(), 1000 * recon_err.mean()
 
 
-def _our_eval_numbers(model_name, variables, dataset, smpl_model, batch_size=2):
+def _our_eval_numbers(model_name, variables, dataset, smpl_model, batch_size=2,
+                      dataset_name="slp-4mod-uncover", smpl_gendered=None):
     from inbed_pose_estimation_tpu.evaluation.evaluate import run_evaluation
     from inbed_pose_estimation_tpu.models import build_model
 
     model, spec = build_model(model_name)
     results = run_evaluation(
-        model, spec, variables, "slp-4mod-uncover", dataset, smpl_model,
+        model, spec, variables, dataset_name, dataset, smpl_model,
+        smpl_gendered=smpl_gendered,
         batch_size=batch_size, img_res=RES, num_workers=1, log_freq=0,
         eval_masks_enabled=False,
     )
@@ -192,7 +225,8 @@ def _our_eval_numbers(model_name, variables, dataset, smpl_model, batch_size=2):
 
 
 def _run_parity(env, ref_hmr, ref_constants, ref_pose_utils, mean_params_npz,
-                model_name, build_ref):
+                model_name, build_ref, dataset_name="slp-4mod-uncover",
+                gendered=False):
     from inbed_pose_estimation_tpu.evaluation.evaluate import load_j_regressor_h36m
     from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
     from inbed_pose_estimation_tpu.train.checkpoint import convert_torch_state_dict
@@ -202,9 +236,17 @@ def _run_parity(env, ref_hmr, ref_constants, ref_pose_utils, mean_params_npz,
     class Opt:
         img_res = RES
 
-    dataset = ds_mod.BaseDataset(Opt(), "slp-4mod-uncover", is_train=False)
+    dataset = ds_mod.BaseDataset(Opt(), dataset_name, is_train=False)
     smpl_model = synthetic_smpl_model(seed=0)
     jreg = load_j_regressor_h36m(num_vertices=smpl_model.v_template.shape[0])
+
+    smpl_gendered = None
+    stub_kw = {}
+    if gendered:
+        male = synthetic_smpl_model(seed=1)
+        female = synthetic_smpl_model(seed=2)
+        smpl_gendered = (male, female)
+        stub_kw = dict(smpl_male=_smpl_stub(male), smpl_female=_smpl_stub(female))
 
     torch.manual_seed(0)
     ref_model = build_ref()
@@ -213,8 +255,10 @@ def _run_parity(env, ref_hmr, ref_constants, ref_pose_utils, mean_params_npz,
 
     ref_mpjpe, ref_pa = _reference_eval_numbers(
         ref_model, model_name, dataset, _smpl_stub(smpl_model), jreg,
-        ref_constants, ref_pose_utils)
-    our_mpjpe, our_pa = _our_eval_numbers(model_name, variables, dataset, smpl_model)
+        ref_constants, ref_pose_utils, dataset_name=dataset_name, **stub_kw)
+    our_mpjpe, our_pa = _our_eval_numbers(
+        model_name, variables, dataset, smpl_model,
+        dataset_name=dataset_name, smpl_gendered=smpl_gendered)
 
     print(f"{model_name}: MPJPE ours={our_mpjpe:.6f} ref={ref_mpjpe:.6f} "
           f"delta={abs(our_mpjpe - ref_mpjpe):.6f}mm | PA ours={our_pa:.6f} "
@@ -246,4 +290,18 @@ def test_e2e_eval_number_parity_cashmrV2(env, ref_hmr, ref_constants,
         env, ref_hmr, ref_constants, ref_pose_utils, mean_params_npz,
         "cashmrV2",
         lambda: ref_hmr.CASHMR(ref_hmr.Bottleneck, [3, 4, 6, 3], mean_params_npz),
+    )
+
+
+@pytest.mark.slow
+def test_e2e_eval_number_parity_3dpw_gendered(env, ref_hmr, ref_constants,
+                                              ref_pose_utils, mean_params_npz):
+    """3dpw-style eval: GT joints from GENDERED GT meshes on both sides
+    (reference eval.py:389-396 vs our gendered_gt_fn)."""
+    _run_parity(
+        env, ref_hmr, ref_constants, ref_pose_utils, mean_params_npz,
+        "hmr",
+        lambda: ref_hmr.HMR(ref_hmr.Bottleneck, [3, 4, 6, 3],
+                            mean_params_npz, input_dim=3),
+        dataset_name="3dpw", gendered=True,
     )

@@ -1,0 +1,143 @@
+"""Filled-triangle z-buffer rasterizer (ops/tri_raster.py) — the eval-time
+mask/parts mechanism replacing neural_renderer (reference
+utils/part_utils.py:13-54) — plus the quantified splat-vs-mesh divergence
+the mask eval switch is based on."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from inbed_pose_estimation_tpu.ops.tri_raster import (
+    rasterize_mesh_batch,
+    rasterize_sample,
+)
+
+RES = 32
+
+
+def _uvz(points):
+    return jnp.asarray(np.asarray(points, np.float32))
+
+
+def test_single_triangle_interior_filled():
+    # Right triangle covering the lower-left of a known box.
+    uvz = _uvz([[4, 4, 10.0], [14, 4, 10.0], [4, 14, 10.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    mask, _ = rasterize_sample(uvz, faces, RES)
+    m = np.asarray(mask)
+    assert m[5, 5] == 1.0       # interior (y, x)
+    assert m[4, 4] == 1.0       # corner vertex
+    assert m[13, 4] == 1.0      # on vertical edge
+    assert m[20, 20] == 0.0     # far outside
+    assert m[12, 12] == 0.0     # outside the hypotenuse
+    # Filled area of this triangle is ~half the 10x10 box.
+    assert 45 <= m.sum() <= 75
+
+
+def test_winding_invariance():
+    tri = [[4, 4, 10.0], [14, 4, 10.0], [4, 14, 10.0]]
+    m1, _ = rasterize_sample(_uvz(tri), jnp.asarray([[0, 1, 2]], jnp.int32), RES)
+    m2, _ = rasterize_sample(_uvz(tri), jnp.asarray([[0, 2, 1]], jnp.int32), RES)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_zbuffer_front_face_wins_parts():
+    # Two overlapping triangles; the nearer one's label must win.
+    pts = [
+        [2, 2, 5.0], [20, 2, 5.0], [2, 20, 5.0],      # front, label 1
+        [2, 2, 9.0], [20, 2, 9.0], [2, 20, 9.0],      # back, label 2
+    ]
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    labels = jnp.asarray([1, 1, 1, 2, 2, 2], jnp.int32)
+    _, parts = rasterize_sample(_uvz(pts), faces, RES, labels=labels)
+    p = np.asarray(parts)
+    assert p[5, 5] == 1
+    assert (p == 2).sum() == 0  # back face fully occluded
+
+
+def test_behind_camera_and_oob_dropped():
+    pts = [[-50, -50, 10.0], [-40, -50, 10.0], [-50, -40, 10.0],
+           [5, 5, -3.0], [9, 5, -3.0], [5, 9, -3.0]]
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    mask, _ = rasterize_sample(_uvz(pts), faces, RES)
+    assert np.asarray(mask).sum() == 0
+
+
+def test_oversized_triangle_vertex_splat_backstop():
+    # A triangle much larger than the tile still marks its vertices.
+    pts = [[1, 1, 10.0], [30, 1, 10.0], [1, 30, 10.0]]
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    mask, _ = rasterize_sample(_uvz(pts), faces, RES, tile=4)
+    m = np.asarray(mask)
+    assert m[1, 1] == 1.0 and m[1, 30] == 1.0 and m[30, 1] == 1.0
+
+
+def test_batch_map_matches_single():
+    rng = np.random.default_rng(0)
+    V = 40
+    uvz = rng.uniform(2, 28, (2, V, 3)).astype(np.float32)
+    uvz[..., 2] = rng.uniform(5, 9, (2, V))
+    faces = rng.integers(0, V, (30, 3)).astype(np.int32)
+    labels = rng.integers(1, 7, V).astype(np.int32)
+    bm, bp = rasterize_mesh_batch(jnp.asarray(uvz), faces, RES, labels=labels)
+    for i in range(2):
+        sm, sp = rasterize_sample(
+            jnp.asarray(uvz[i]), jnp.asarray(faces), RES, labels=jnp.asarray(labels)
+        )
+        np.testing.assert_array_equal(np.asarray(bm[i]), np.asarray(sm))
+        np.testing.assert_array_equal(np.asarray(bp[i]), np.asarray(sp))
+
+
+def test_part_renderer_mesh_mode_and_splat_divergence():
+    """PartRenderer with faces -> filled-triangle masks; quantify the
+    divergence vs the dilated point-splat renderer AND vs the in-model
+    splat (ops/mask_raster.py) so the mask-eval switch is a known,
+    measured change rather than an assumed-equal one."""
+    from inbed_pose_estimation_tpu.ops.mask_raster import render_body_mask
+    from inbed_pose_estimation_tpu.render.part_renderer import PartRenderer
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+    from inbed_pose_estimation_tpu.smpl.model import smpl_forward
+
+    smpl = synthetic_smpl_model(seed=0)
+    B = 2
+    rng = np.random.default_rng(1)
+    betas = jnp.asarray(rng.normal(0, 0.5, (B, 10)).astype(np.float32))
+    pose = jnp.asarray(rng.normal(0, 0.2, (B, 72)).astype(np.float32))
+    verts = smpl_forward(smpl, betas, pose_aa=pose).vertices
+    cam = jnp.asarray(np.tile([0.9, 0.0, 0.0], (B, 1)).astype(np.float32))
+
+    res = 64
+    mesh_renderer = PartRenderer(
+        render_res=res, num_vertices=smpl.v_template.shape[0],
+        template=np.asarray(smpl.v_template), faces=np.asarray(smpl.faces))
+    splat_renderer = PartRenderer(
+        render_res=res, num_vertices=smpl.v_template.shape[0],
+        template=np.asarray(smpl.v_template))
+
+    mesh_mask, mesh_parts = mesh_renderer(verts, cam)
+    splat_mask, _ = splat_renderer(verts, cam)
+    model_splat = np.asarray(render_body_mask(verts, cam, img_res=res))[..., 0] > 0
+
+    mm = np.asarray(mesh_mask) > 0
+    sm = np.asarray(splat_mask) > 0
+    assert mm.any() and sm.any()
+
+    def f1(a, b):
+        tp = (a & b).sum()
+        return 2 * tp / (2 * tp + (a & ~b).sum() + (~a & b).sum())
+
+    f1_dilated_splat = f1(mm, sm)
+    f1_model_splat = f1(mm, model_splat)
+    print(f"mask F1 mesh-vs-dilated-splat={f1_dilated_splat:.3f} "
+          f"mesh-vs-model-splat={f1_model_splat:.3f} "
+          f"areas mesh={mm.sum()} splat={sm.sum()} model={model_splat.sum()}")
+    # The mechanisms are close but NOT identical — that's the point of the
+    # switch; the bands document the measured divergence on this geometry.
+    assert 0.5 < f1_dilated_splat <= 1.0
+    assert 0.5 < f1_model_splat <= 1.0
+
+    p = np.asarray(mesh_parts)
+    assert p.min() >= 0 and p.max() <= 6
+    assert (p[~mm] == 0).all()  # parts *= mask
+    assert (p[mm] > 0).any()
