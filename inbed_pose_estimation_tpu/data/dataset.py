@@ -128,6 +128,34 @@ class BaseDataset:
 
         self.length = self.scale.shape[0]
 
+        # Offline pre-decoded crop cache (data/crop_cache.py): replaces the
+        # 9 cv2.imread calls per item with memmap patch reads, bit-exact by
+        # construction.  Opt-in via options.crop_cache (a directory built by
+        # tools/build_crop_cache.py); refused (with a warning) if the cache
+        # was built for a smaller augmentation range or a different split
+        # length.
+        self._cache = None
+        cache_dir = getattr(options, "crop_cache", None)
+        if cache_dir and not self.return_raw:
+            from .crop_cache import CropCache
+
+            try:
+                cc = CropCache(cache_dir, dataset, is_train)
+            except FileNotFoundError:
+                print(f"crop cache: no cache for {dataset} "
+                      f"({'train' if is_train else 'test'}) in {cache_dir}; "
+                      "reading from disk")
+                cc = None
+            if cc is not None:
+                if len(cc) != self.length:
+                    print(f"crop cache: stale ({len(cc)} samples cached, "
+                          f"split has {self.length}); reading from disk")
+                elif self.is_train and self.use_augmentation and not cc.covers(options):
+                    print("crop cache: built for a smaller augmentation "
+                          "range than options request; reading from disk")
+                else:
+                    self._cache = cc
+
     # -- augmentation sampling (base_dataset.py:128-155) --------------------
     def augm_params(self, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng()
@@ -275,11 +303,18 @@ class BaseDataset:
         depthname = join(self.img_dir, str(self.depthname[index]))
         pmname = join(self.img_dir, str(self.pmname[index]))
 
-        img = self._read_rgb(imgname)
+        cache = self._cache
+        if cache is not None:
+            img = cache.full(index, "img")
+            ir_img = cache.full(index, "ir")
+            depth_img = cache.full(index, "depth")
+            pm_img = cache.full(index, "pm")
+        else:
+            img = self._read_rgb(imgname)
+            ir_img = self._read_gray(irname) if self.hasIR else self._read_rgb(imgname)
+            depth_img = self._read_gray(depthname) if self.hasDEPTH else self._read_rgb(imgname)
+            pm_img = self._read_gray(pmname) if self.hasPM else self._read_rgb(imgname)
         orig_shape = np.array(img.shape)[:2]
-        ir_img = self._read_gray(irname) if self.hasIR else self._read_rgb(imgname)
-        depth_img = self._read_gray(depthname) if self.hasDEPTH else self._read_rgb(imgname)
-        pm_img = self._read_gray(pmname) if self.hasPM else self._read_rgb(imgname)
 
         if self.has_smpl[index]:
             pose = self.pose[index].copy()
@@ -331,18 +366,23 @@ class BaseDataset:
         def unc(p):
             return p.replace("cover1", "uncover").replace("cover2", "uncover")
 
-        img_unc = self.rgb_processing(self._read_rgb(unc(imgname)), center, sc * scale, rot, flip, pn)
-        ir_unc = self.gray_processing(self._read_gray(unc(irname)), center, sc * scale, rot, flip, pn,
-                                      as_uint8=u8)
-        depth_unc = self.gray_processing(
-            self._read_gray(unc(depthname)), center, sc * scale, rot, flip, pn, as_uint8=u8
-        )
-        pm_unc = self.gray_processing(self._read_gray(unc(pmname)), center, sc * scale, rot, flip, pn,
-                                      as_uint8=u8)
-        mask_unc = self.gray_processing(
-            self._read_gray(unc(pmname).replace("PM_aligned", "masks")),
-            center, sc * scale, rot, flip, pn, as_uint8=u8,
-        )
+        if cache is not None:
+            img_unc_raw = cache.full(index, "img_unc")
+            ir_unc_raw = cache.full(index, "ir_unc")
+            depth_unc_raw = cache.full(index, "depth_unc")
+            pm_unc_raw = cache.full(index, "pm_unc")
+            mask_unc_raw = cache.full(index, "mask_unc")
+        else:
+            img_unc_raw = self._read_rgb(unc(imgname))
+            ir_unc_raw = self._read_gray(unc(irname))
+            depth_unc_raw = self._read_gray(unc(depthname))
+            pm_unc_raw = self._read_gray(unc(pmname))
+            mask_unc_raw = self._read_gray(unc(pmname).replace("PM_aligned", "masks"))
+        img_unc = self.rgb_processing(img_unc_raw, center, sc * scale, rot, flip, pn)
+        ir_unc = self.gray_processing(ir_unc_raw, center, sc * scale, rot, flip, pn, as_uint8=u8)
+        depth_unc = self.gray_processing(depth_unc_raw, center, sc * scale, rot, flip, pn, as_uint8=u8)
+        pm_unc = self.gray_processing(pm_unc_raw, center, sc * scale, rot, flip, pn, as_uint8=u8)
+        mask_unc = self.gray_processing(mask_unc_raw, center, sc * scale, rot, flip, pn, as_uint8=u8)
         if u8:
             # gen_contact needs the noised [0,1] float views; derive them
             # with the exact device-side decode math.

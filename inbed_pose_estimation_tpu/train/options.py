@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
                           "host preprocessing — covers the full augmentation "
                           "distribution (not bit-identical to the reference "
                           "resampler)")
+    tpu.add_argument("--crop_cache", default=None,
+                     help="Directory of a pre-decoded crop cache built by "
+                          "tools/build_crop_cache.py: replaces the 9 image "
+                          "decodes per sample with memmap patch reads "
+                          "(bit-exact; kills the host decode bound)")
     tpu.add_argument("--uint8_feed", default=True,
                      action=argparse.BooleanOptionalAction,
                      help="Ship post-crop uint8 images to the device and fuse "
