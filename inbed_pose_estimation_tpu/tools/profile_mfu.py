@@ -136,7 +136,8 @@ def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int =
 
 
 def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
-                  run_smplify: bool = False, remat: bool = False):
+                  run_smplify: bool = False, remat: bool = False,
+                  dtype: str = "bfloat16"):
     """MFU of the full compiled training step (fwd+bwd cascade, SMPL LBS,
     camera LSQ, losses, Adam, fits scatter) — FLOPs from XLA's cost model on
     the lowered step program."""
@@ -165,7 +166,9 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
     # jax.checkpoint on the cascade stages: fwd+bwd at 224^2 batch >= 128
     # holds the full decoder activation pyramid otherwise (OOMs on 16G HBM).
     Opt.remat = remat
-    model, spec = build_model("cashmrV2", dtype=jnp.bfloat16)
+    model, spec = build_model(
+        "cashmrV2", dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    )
     smpl = synthetic_smpl_model(seed=0)
     prior = synthetic_gmm_prior()
     step_fn, tx = make_train_step(model, spec, smpl, prior, Opt())
@@ -222,7 +225,7 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
     peak = guess_peak()
     return {
         "what": ("cashmrV2 train step" + (" +smplify" if run_smplify else "")
-                 + (" +remat" if remat else "")),
+                 + (" +remat" if remat else "") + f" {dtype}"),
         "batch": B,
         "res": res,
         "step_ms": round(dt * 1000, 2),
@@ -260,6 +263,10 @@ def main():
                          "train batches >= 128 in HBM)")
     ap.add_argument("--trace_dir", default=None,
                     help="Also capture a jax.profiler trace here")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="Train-step compute dtype (params stay f32); "
+                         "inference is always profiled in bf16")
     args = ap.parse_args()
 
     # Persistent compilation cache — without it a cold 4-point batch sweep
@@ -273,7 +280,7 @@ def main():
             print(json.dumps(profile_train(
                 b, args.res, num_cas=args.num_cas_iters,
                 iters=max(3, args.iters // 2), run_smplify=args.run_smplify,
-                remat=args.remat)),
+                remat=args.remat, dtype=args.dtype)),
                 flush=True)
         else:
             print(json.dumps(profile_inference(

@@ -35,7 +35,14 @@ def main():
         gmm_prior_file=config.GMM_PRIOR_FILE if options.run_smplify else None,
     )
 
-    model, spec = build_model(options.model, smpl_mean_params=config.SMPL_MEAN_PARAMS)
+    # --dtype bfloat16: compute dtype for the model graph (flax param_dtype
+    # stays float32, as do the geometry/loss paths, which pin f32 — the
+    # standard TPU operating point).  Measured f32-vs-bf16 train rows live
+    # in PARITY.md; the loss-trajectory guardrail is tests/test_bf16_train.py.
+    import jax.numpy as _jnp
+    compute_dtype = _jnp.bfloat16 if getattr(options, "dtype", "float32") == "bfloat16" else _jnp.float32
+    model, spec = build_model(options.model, smpl_mean_params=config.SMPL_MEAN_PARAMS,
+                              dtype=compute_dtype)
     smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
     prior = load_gmm_prior(config.GMM_PRIOR_FILE)
     train_ds = MixedDataset(options, ignore_3d=options.ignore_3d, is_train=True)
