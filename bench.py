@@ -93,39 +93,41 @@ def measure_tpu(iters: int = 20) -> float:
         for m in spec.modalities
     )
     variables = model.init(jax.random.PRNGKey(0), jnp.concatenate(inputs, axis=-1))
-    infer = jax.jit(
-        make_inference_fn(
-            model, spec, smpl_model,
-            j_regressor_h36m=load_j_regressor_h36m(
-                num_vertices=smpl_model.v_template.shape[0]
-            ),
-            num_cas_iters=NUM_CAS_ITERS,
-            # The final stage's depth reconstruction is a discarded byproduct
-            # for pose metrics (the reference computes it anyway); lazy heads
-            # skip it.
-            final_recon=False,
-        )
+    infer_core = make_inference_fn(
+        model, spec, smpl_model,
+        j_regressor_h36m=load_j_regressor_h36m(
+            num_vertices=smpl_model.v_template.shape[0]
+        ),
+        num_cas_iters=NUM_CAS_ITERS,
+        # The final stage's depth reconstruction is a discarded byproduct
+        # for pose metrics (the reference computes it anyway); lazy heads
+        # skip it.
+        final_recon=False,
     )
 
     # Sustained (pipelined) throughput: the serving operating mode, with
     # dispatches kept in flight back-to-back.  Synchronization is by DATA
     # DEPENDENCE, not block_until_ready (which under-synchronizes on this
     # remote platform): every iteration's result feeds a tiny on-device
-    # accumulator, so fetching the final accumulator value forces every one
-    # of the N programs to have completed — nothing can be skipped — while
-    # the per-iteration host cost is two async dispatches with no tunnel
-    # round trip.  Measured per-dispatch fixed overhead on the tunnel is
-    # ~40 ms (PARITY.md MFU section); a per-iteration fetch would bill that
-    # RTT into every batch, reporting tunnel latency rather than chip
-    # throughput.
-    accum = jax.jit(lambda acc, cam: acc + jnp.sum(cam))
+    # accumulator CARRY fused into the inference program itself, so fetching
+    # the final accumulator value forces every one of the N programs to have
+    # completed — nothing can be skipped — while the per-iteration host cost
+    # is ONE async dispatch with no tunnel round trip.  (Fusing the
+    # accumulator, rather than dispatching it as a second tiny program,
+    # halves per-iteration dispatch work on the ~40 ms/dispatch tunnel —
+    # PARITY.md MFU section.)  The carry buffer is donated: the chain
+    # reuses one scalar's memory instead of allocating per step.
+    def infer_acc(variables, inputs, acc):
+        out = infer_core(variables, inputs)
+        return acc + jnp.sum(out["cam"])
+
+    infer = jax.jit(infer_acc, donate_argnums=(2,))
 
     def pipelined_pass(n):
         acc = jnp.zeros((), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(n):
-            out = infer(variables, inputs)
-            acc = accum(acc, out["cam"])
+            acc = infer(variables, inputs, acc)
         total = float(acc)  # one round trip; transitively awaits everything
         assert np.isfinite(total)
         return BATCH * n / (time.perf_counter() - t0)

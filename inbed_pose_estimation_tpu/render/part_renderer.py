@@ -3,10 +3,15 @@
 Replaces the reference's neural_renderer (CUDA) PartRenderer
 (reference: utils/part_utils.py:9-54), which rasterizes the SMPL mesh into
 a binary mask and a 6-part segmentation using the cube_parts.npy color-cube
-lookup.  TPU-native approach: per-vertex part labels (from cube_parts when
-available, else a synthetic 6-part split along the template's vertical
-axis), splatted with a z-buffer via segment-min scatter; mask is the splat
-coverage (ops/mask_raster.py).
+lookup.  Two TPU-native modes, selected by whether `faces` are given:
+
+  * mesh mode (eval path): FILLED-TRIANGLE z-buffer rasterization via
+    ops/tri_raster.py — matches the reference's eval mechanism (filled,
+    z-buffered triangles, anti_aliasing=False);
+  * splat mode (fallback, no faces): per-vertex part labels (from
+    cube_parts when available, else a synthetic 6-part split along the
+    template's vertical axis) splatted with a z-buffer via segment-min
+    scatter.
 """
 
 from __future__ import annotations
