@@ -118,6 +118,7 @@ def build_model(
     smpl_mean_params: Optional[str] = None,
     dtype: Any = jnp.float32,
     n_iter: int = 3,
+    remat_decoder: bool = False,
 ):
     """Construct the flax module for a registered architecture.
 
@@ -143,7 +144,8 @@ def build_model(
     )
 
     if spec.input_mode == "concat":
-        module = HMRCore(recon_heads=spec.recon_heads, n_iter=n_iter, dtype=dtype, **mean_kw)
+        module = HMRCore(recon_heads=spec.recon_heads, n_iter=n_iter, dtype=dtype,
+                         remat_decoder=remat_decoder, **mean_kw)
     elif spec.input_mode == "multi":
         module = MultiTrunkCore(
             num_trunks=len(spec.modalities),
@@ -151,6 +153,7 @@ def build_model(
             cross_attention=name in ("featatt_cashmr", "ir_depth_featatt_cashmrV2"),
             skip_trunk=min(2, len(spec.modalities) - 1),
             n_iter=n_iter,
+            remat_decoder=remat_decoder,
             dtype=dtype,
             **mean_kw,
         )

@@ -63,6 +63,12 @@ class HMRCore(nn.Module):
     recon_heads: Tuple[str, ...] = ()
     n_iter: int = 3
     return_pyramid: bool = False
+    # Rematerialize ONLY the reconstruction decoders on the backward pass
+    # (`--remat decoder`): their 112^2-224^2 x 128-ch activations dominate
+    # training memory while their FLOPs are a minority (conv_efficiency:
+    # HBM-bound), so decoder-scoped remat buys most of whole-stage remat's
+    # memory relief at a fraction of its recompute tax.
+    remat_decoder: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -91,8 +97,13 @@ class HMRCore(nn.Module):
         # torch executes eagerly).  compute_recon=False skips them; flax
         # still initializes their params via the init-time call.
         recon = {}
+        # nn.remat preserves the param-tree structure, so checkpoints are
+        # interchangeable across remat settings (static_argnums counts self,
+        # so 6 == `train`).
+        dec_cls = (nn.remat(Reconstruct, static_argnums=(6,))
+                   if self.remat_decoder else Reconstruct)
         for head in self.recon_heads:
-            dec = Reconstruct(dtype=self.dtype, name=f"reconstruct_{head}")
+            dec = dec_cls(dtype=self.dtype, name=f"reconstruct_{head}")
             if compute_recon or self.is_initializing():
                 recon[head] = dec(x0, x1, x2, x3, x4, train)
         if not compute_recon:
@@ -147,6 +158,7 @@ class MultiTrunkCore(nn.Module):
     cross_attention: bool = False
     skip_trunk: int = 2  # decoder skip source: depth trunk in (rgb,ir,depth,pm)
     n_iter: int = 3
+    remat_decoder: bool = False  # see HMRCore.remat_decoder
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -183,12 +195,14 @@ class MultiTrunkCore(nn.Module):
         recon = {}
         if self.recon_heads:
             skips = pyramids[min(self.skip_trunk, self.num_trunks - 1)]
+            dec_cls = (nn.remat(Reconstruct, static_argnums=(6,))
+                       if self.remat_decoder else Reconstruct)
             for head in self.recon_heads:
-                dec = Reconstruct(
+                dec = dec_cls(
                     num_feat=self.num_trunks, dtype=self.dtype, name=f"reconstruct_{head}"
                 )
                 if compute_recon or self.is_initializing():
-                    recon[head] = dec(skips[0], skips[1], skips[2], skips[3], x4, train=train)
+                    recon[head] = dec(skips[0], skips[1], skips[2], skips[3], x4, train)
             if not compute_recon:
                 recon = {}
 

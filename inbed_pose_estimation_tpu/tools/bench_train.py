@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--num_cas_iters", type=int, default=2)
     ap.add_argument("--run_smplify", action="store_true")
     ap.add_argument("--num_smplify_iters", type=int, default=100)
-    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat", nargs="?", const="stage", default=False,
+                    choices=["stage", "decoder"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = ap.parse_args()
@@ -55,7 +56,8 @@ def main():
         remat = args.remat
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model, spec = build_model("cashmrV2", dtype=dtype)
+    model, spec = build_model("cashmrV2", dtype=dtype,
+                              remat_decoder=(args.remat == "decoder"))
     smpl = synthetic_smpl_model(seed=0)
     prior = synthetic_gmm_prior()
     step_fn, tx = make_train_step(model, spec, smpl, prior, Opt())
@@ -110,7 +112,7 @@ def main():
     print(json.dumps({
         "metric": f"train images/sec/chip (cashmrV2 {args.res}^2 cas{args.num_cas_iters}"
                   + (" +smplify" if args.run_smplify else "")
-                  + (" +remat" if args.remat else "") + f" {args.dtype})",
+                  + (f" +remat:{args.remat}" if args.remat else "") + f" {args.dtype})",
         "value": round(B / dt, 2),
         "unit": "images/sec/chip",
         "step_ms": round(dt * 1000, 1),

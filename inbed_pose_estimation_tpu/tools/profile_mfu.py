@@ -136,7 +136,7 @@ def profile_inference(batch: int, res: int = 224, num_cas: int = 2, iters: int =
 
 
 def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
-                  run_smplify: bool = False, remat: bool = False,
+                  run_smplify: bool = False, remat=False,
                   dtype: str = "bfloat16"):
     """MFU of the full compiled training step (fwd+bwd cascade, SMPL LBS,
     camera LSQ, losses, Adam, fits scatter) — FLOPs from XLA's cost model on
@@ -163,11 +163,14 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
         gt_train_weight = 1.0
 
     Opt.run_smplify = run_smplify
-    # jax.checkpoint on the cascade stages: fwd+bwd at 224^2 batch >= 128
-    # holds the full decoder activation pyramid otherwise (OOMs on 16G HBM).
+    # remat in (True, "stage"): jax.checkpoint on whole cascade stages —
+    # fwd+bwd at 224^2 batch >= 128 holds the full decoder activation
+    # pyramid otherwise (OOMs on 16G HBM).  remat == "decoder": checkpoint
+    # only the reconstruction decoders (handled inside the model).
     Opt.remat = remat
     model, spec = build_model(
-        "cashmrV2", dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        "cashmrV2", dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        remat_decoder=(remat == "decoder"),
     )
     smpl = synthetic_smpl_model(seed=0)
     prior = synthetic_gmm_prior()
@@ -225,7 +228,8 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
     peak = guess_peak()
     return {
         "what": ("cashmrV2 train step" + (" +smplify" if run_smplify else "")
-                 + (" +remat" if remat else "") + f" {dtype}"),
+                 + (f" +remat:{'stage' if remat is True else remat}" if remat else "")
+                 + f" {dtype}"),
         "batch": B,
         "res": res,
         "step_ms": round(dt * 1000, 2),
@@ -258,9 +262,12 @@ def main():
                     help="profile the full training step instead of inference")
     ap.add_argument("--num_cas_iters", type=int, default=2)
     ap.add_argument("--run_smplify", action="store_true")
-    ap.add_argument("--remat", action="store_true",
-                    help="jax.checkpoint the cascade stages (needed to fit "
-                         "train batches >= 128 in HBM)")
+    ap.add_argument("--remat", nargs="?", const="stage", default=False,
+                    choices=["stage", "decoder"],
+                    help="bare --remat: jax.checkpoint whole cascade stages "
+                         "(needed to fit train batches >= 128 in HBM); "
+                         "'--remat decoder': checkpoint only the recon "
+                         "decoders (cheaper recompute, fits batch 64)")
     ap.add_argument("--trace_dir", default=None,
                     help="Also capture a jax.profiler trace here")
     ap.add_argument("--dtype", default="bfloat16",

@@ -81,8 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                      help="Model compute dtype (params stay float32)")
     tpu.add_argument("--seed", type=int, default=0)
-    tpu.add_argument("--remat", default=False, action="store_true",
-                     help="Rematerialize cascade stages on backward (memory for FLOPs)")
+    tpu.add_argument("--remat", nargs="?", const="stage", default=False,
+                     choices=["stage", "decoder"],
+                     help="Rematerialize on backward (memory for FLOPs): bare "
+                          "--remat (= 'stage') checkpoints whole cascade "
+                          "stages; '--remat decoder' checkpoints only the "
+                          "reconstruction decoders, whose 112^2-224^2 "
+                          "activations dominate memory while their FLOPs are "
+                          "a minority (HBM-bound) — most of the memory relief "
+                          "at a fraction of the recompute tax")
     tpu.add_argument("--fast_preprocess", default=False, action="store_true",
                      help="Use the native C++ fused crop+resize+rotate kernel for "
                           "host preprocessing — covers the full augmentation "

@@ -111,7 +111,10 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options, bar_mode
     focal = constants.FOCAL_LENGTH
     tx = optax.adam(options.lr)
     run_smplify = bool(options.run_smplify)
-    use_remat = bool(getattr(options, "remat", False))
+    # --remat / remat=True checkpoints whole cascade stages here;
+    # --remat decoder is handled inside the model (build_model(remat_decoder=))
+    # and needs nothing from the trainer.
+    use_remat = getattr(options, "remat", False) in (True, "stage")
     num_cas = int(options.num_cas_iters) if spec.cascade else 1
     fitting_loss_fn = make_fitting_loss(smpl_model, prior, focal)
     smplify_fn = make_smplify(

@@ -170,6 +170,25 @@ def test_remat_matches_no_remat():
     assert losses[0] == pytest.approx(losses[1], rel=1e-5), losses
 
 
+def test_remat_decoder_matches_no_remat():
+    """`--remat decoder` (nn.remat on the Reconstruct modules only) keeps
+    the param tree IDENTICAL (checkpoints interchangeable) and the train
+    step numerically equivalent — remat changes memory, not math."""
+    smpl = synthetic_smpl_model(seed=0)
+    prior = synthetic_gmm_prior()
+
+    losses, structs = [], []
+    for remat_decoder in (False, True):
+        model, spec = build_model("cashmrV2", remat_decoder=remat_decoder)
+        step_fn, _ = make_train_step(model, spec, smpl, prior, Opt())
+        state = _make_state(model, spec, Opt(), seed=3)
+        structs.append(jax.tree_util.tree_structure(state.params))
+        _, metrics = jax.jit(step_fn)(state, _fake_batch(2, 5))
+        losses.append(float(metrics["loss"]))
+    assert structs[0] == structs[1]
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5), losses
+
+
 def test_sync_bn_device_count_equivalence():
     """Pin the sync-BN semantics choice (VERDICT Weak #1/#8): the SAME step
     on a 1-device and an 8-device mesh must produce matching loss, updated

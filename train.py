@@ -42,7 +42,8 @@ def main():
     import jax.numpy as _jnp
     compute_dtype = _jnp.bfloat16 if getattr(options, "dtype", "float32") == "bfloat16" else _jnp.float32
     model, spec = build_model(options.model, smpl_mean_params=config.SMPL_MEAN_PARAMS,
-                              dtype=compute_dtype)
+                              dtype=compute_dtype,
+                              remat_decoder=getattr(options, "remat", False) == "decoder")
     smpl_model = load_or_synthesize(config.SMPL_MODEL_DIR)
     prior = load_gmm_prior(config.GMM_PRIOR_FILE)
     train_ds = MixedDataset(options, ignore_3d=options.ignore_3d, is_train=True)
