@@ -145,6 +145,34 @@ def test_cache_missing_falls_back(env, tmp_path, capsys):
     assert item["img"].shape == (RES, RES, 3)
 
 
+def test_cache_composes_with_fast_preprocess(env, tmp_path):
+    """--crop_cache + --fast_preprocess: the native kernel consumes the
+    cache's pasted canvas (cast back to uint8 — exact, the canvas holds
+    integral byte values) and must produce the same items as the kernel on
+    the disk reads.  Together the two flags cover the whole data phase:
+    the cache removes decode, the kernel removes the crop arithmetic."""
+    from inbed_pose_estimation_tpu.ops import native
+
+    if not native.available():
+        pytest.skip("no g++ / build failed")
+    _, ds_mod = env
+    _build(ds_mod, tmp_path)
+
+    opt_disk, opt_cache = _Opt(), _Opt()
+    opt_disk.fast_preprocess = opt_cache.fast_preprocess = True
+    opt_cache.crop_cache = str(tmp_path)
+    ds_disk = ds_mod.BaseDataset(opt_disk, "slp-4mod-train", is_train=True)
+    ds_cache = ds_mod.BaseDataset(opt_cache, "slp-4mod-train", is_train=True)
+    assert ds_disk._native is not None and ds_cache._cache is not None
+    for s in (0, 7):
+        for i in range(len(ds_disk)):
+            a = ds_disk.__getitem__(i, rng=np.random.default_rng(s))
+            b = ds_cache.__getitem__(i, rng=np.random.default_rng(s))
+            for k in ("img", "ir_img", "depth_img", "pm_img", "img_uncover",
+                      "mask_uncover", "pm_contact", "keypoints"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{k} i={i} s={s}")
+
+
 def test_cache_dedupes_uncover_split(env, tmp_path):
     """On an uncover split the cover->uncover rewrite is a no-op, so the
     uncovered modalities must alias the covered patches' bytes."""
