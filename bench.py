@@ -119,7 +119,12 @@ def measure_tpu(iters: int = 20) -> float:
     # reuses one scalar's memory instead of allocating per step.
     def infer_acc(variables, inputs, acc):
         out = infer_core(variables, inputs)
-        return acc + jnp.sum(out["cam"])
+        # The accumulator must consume EVERY claimed pipeline stage, or XLA
+        # dead-code-eliminates it from the benched program: cam alone
+        # depends only on the cascade, so summing just it would let the
+        # SMPL LBS and the 17-joint regression einsum be pruned.
+        # keypoints_3d_17 transitively forces rotmat/betas -> LBS -> einsum.
+        return acc + jnp.sum(out["cam"]) + jnp.sum(out["keypoints_3d_17"])
 
     infer = jax.jit(infer_acc, donate_argnums=(2,))
 

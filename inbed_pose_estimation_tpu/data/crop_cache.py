@@ -36,6 +36,7 @@ silently under-covering.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from os.path import join
@@ -74,6 +75,18 @@ def patch_half_extent(scale: float, scale_margin: float, rotating: bool) -> int:
 def cache_paths(cache_dir: str, dataset_name: str, is_train: bool) -> Tuple[str, str]:
     stem = join(cache_dir, f"{dataset_name}_{'train' if is_train else 'test'}")
     return stem + ".bin", stem + ".idx.npz"
+
+
+def index_fingerprint(center, scale, imgname) -> str:
+    """Hash of the npz-index fields the patch extents depend on.  A
+    re-extracted index with the same length but shifted boxes must refuse
+    the cache (the stored patches would under-cover), so the cache records
+    this at build time and the dataset compares at load time."""
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(center, np.float64)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(scale, np.float64)).tobytes())
+    h.update("\n".join(str(n) for n in imgname).encode())
+    return h.hexdigest()
 
 
 def build_crop_cache(
@@ -117,26 +130,34 @@ def build_crop_cache(
             cx, cy = int(round(float(center[0]))), int(round(float(center[1])))
             x0, y0, x1, y1 = cx - half, cy - half, cx + half, cy + half
 
+            def unc(p):
+                return p.replace("cover1", "uncover").replace("cover2", "uncover")
+
+            img_p = join(dataset.img_dir, str(dataset.imgname[i]))
+            ir_p = join(dataset.img_dir, str(dataset.irimgname[i]))
+            depth_p = join(dataset.img_dir, str(dataset.depthname[i]))
+            pm_p = join(dataset.img_dir, str(dataset.pmname[i]))
             names = {
-                "img": (join(dataset.img_dir, str(dataset.imgname[i])), False),
-                "ir": (join(dataset.img_dir, str(dataset.irimgname[i])), dataset.hasIR),
-                "depth": (join(dataset.img_dir, str(dataset.depthname[i])), dataset.hasDEPTH),
-                "pm": (join(dataset.img_dir, str(dataset.pmname[i])), dataset.hasPM),
+                "img": (img_p, False),
+                "ir": (ir_p, dataset.hasIR),
+                "depth": (depth_p, dataset.hasDEPTH),
+                "pm": (pm_p, dataset.hasPM),
             }
-            # Missing modalities fall back to the RGB read (dataset.py:280-282).
+            # Missing COVERED modalities fall back to the RGB read
+            # (dataset.py:313-315: `... if self.hasIR else _read_rgb(imgname)`).
             for k in ("ir", "depth", "pm"):
                 if not names[k][1]:
-                    names[k] = (names["img"][0], False)
-            for k in ("img", "ir", "depth", "pm"):
-                p, gray = names[k]
-                unc = p.replace("cover1", "uncover").replace("cover2", "uncover")
-                names[k + "_unc"] = (unc, gray)
-            # The mask read is unconditionally grayscale (dataset.py:342-345
-            # uses _read_gray regardless of hasPM).
-            names["mask_unc"] = (
-                names["pm_unc"][0].replace("PM_aligned", "masks"),
-                True,
-            )
+                    names[k] = (img_p, False)
+            # The UNCOVERED reads are NOT gated on has* — the dataset always
+            # does `_read_gray(unc(<modality name>))` on the ORIGINAL path
+            # (dataset.py:378-380), so the unc entries must use the original
+            # paths with gray=True (img_unc stays an RGB read).
+            names["img_unc"] = (unc(img_p), False)
+            names["ir_unc"] = (unc(ir_p), True)
+            names["depth_unc"] = (unc(depth_p), True)
+            names["pm_unc"] = (unc(pm_p), True)
+            # The mask read is unconditionally grayscale (dataset.py:381).
+            names["mask_unc"] = (unc(pm_p).replace("PM_aligned", "masks"), True)
 
             written: Dict[Tuple[str, bool], int] = {}
             for m, modality in enumerate(MODALITIES):
@@ -180,6 +201,8 @@ def build_crop_cache(
             "scale_margin": float(scale_margin),
             "rot_covered": True,
             "modalities": list(MODALITIES),
+            "index_fingerprint": index_fingerprint(
+                dataset.center, dataset.scale, dataset.imgname),
         }).encode()),
     )
     return bin_path
@@ -206,9 +229,18 @@ class CropCache:
         return int(self.meta["num_samples"])
 
     def covers(self, options) -> bool:
-        """True if the cache margin covers this options' augmentation range."""
-        sf = 1.0 + float(getattr(options, "scale_factor", 0.15) or 0.15)
+        """True if the cache margin covers this options' augmentation range.
+
+        scale_factor=0 (augmentation disabled) is honored, matching
+        augm_params — no falsy-coercion to the default."""
+        sf = 1.0 + float(getattr(options, "scale_factor", 0.15))
         return sf <= float(self.meta["scale_margin"]) + 1e-9
+
+    def matches_index(self, center, scale, imgname) -> bool:
+        """True if the npz index the cache was built from is unchanged.
+        Pre-fingerprint caches (no recorded hash) conservatively refuse."""
+        want = self.meta.get("index_fingerprint")
+        return want is not None and want == index_fingerprint(center, scale, imgname)
 
     def _patch(self, index: int, m: int) -> np.ndarray:
         off = int(self.offsets[index, m])

@@ -146,10 +146,19 @@ class BaseDataset:
                       f"({'train' if is_train else 'test'}) in {cache_dir}; "
                       "reading from disk")
                 cc = None
+            except Exception as e:  # corrupt/partial cache: fall back, like
+                # every other refusal path, instead of aborting construction
+                print(f"crop cache: unreadable ({type(e).__name__}: {e}); "
+                      "reading from disk")
+                cc = None
             if cc is not None:
                 if len(cc) != self.length:
                     print(f"crop cache: stale ({len(cc)} samples cached, "
                           f"split has {self.length}); reading from disk")
+                elif not cc.matches_index(self.center, self.scale, self.imgname):
+                    print("crop cache: stale (npz index changed since the "
+                          "cache was built — patch extents may under-cover); "
+                          "reading from disk")
                 elif self.is_train and self.use_augmentation and not cc.covers(options):
                     print("crop cache: built for a smaller augmentation "
                           "range than options request; reading from disk")

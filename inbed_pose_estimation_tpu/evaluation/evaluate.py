@@ -251,6 +251,8 @@ def run_evaluation(
             num_vertices=smpl_model.v_template.shape[0],
             template=np.asarray(smpl_model.v_template),
             faces=np.asarray(smpl_model.faces),
+            # Mask-only splits (slp) skip the part-labeling pass entirely.
+            render_labels=eval_parts,
         )
     jm_gt = np.asarray(constants.J24_TO_J17)
 

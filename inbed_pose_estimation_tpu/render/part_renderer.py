@@ -57,9 +57,14 @@ class PartRenderer:
                  render_res: int = 128, num_vertices: int = constants.NUM_VERTICES,
                  part_labels: Optional[np.ndarray] = None,
                  template: Optional[np.ndarray] = None,
-                 faces: Optional[np.ndarray] = None):
+                 faces: Optional[np.ndarray] = None,
+                 render_labels: bool = True):
         self.focal_length = focal_length
         self.render_res = render_res
+        # render_labels=False (mask-only eval, e.g. slp splits) drops the
+        # part-labeling work (barycentric argmax / label scatter) from the
+        # jit program entirely — parts come back as zeros.
+        self.render_labels = bool(render_labels)
         self.labels = jnp.asarray(
             part_labels if part_labels is not None
             else vertex_part_labels(num_vertices, vertices_template=template)
@@ -76,7 +81,9 @@ class PartRenderer:
             eye = jnp.broadcast_to(jnp.eye(3, dtype=vertices.dtype), (B, 3, 3))
             cc = jnp.full((B, 2), res / 2.0, vertices.dtype)
             uvz = perspective_projection(vertices, eye, cam_t, self.focal_length, cc, out_3d=True)
-            return rasterize_mesh_batch(uvz, self.faces, res, labels=self.labels)
+            return rasterize_mesh_batch(
+                uvz, self.faces, res,
+                labels=self.labels if self.render_labels else None)
 
         @jax.jit
         def _render(vertices, camera):
@@ -99,18 +106,21 @@ class PartRenderer:
             zbuf = zbuf.at[bidx, flat].min(jnp.where(valid, z, jnp.inf), mode="drop")
             hit = jnp.isfinite(zbuf)
 
+            mask = hit.astype(jnp.float32).reshape(B, res, res)
+            # 3x3 dilation closes point-splat holes.
+            m = jax.lax.reduce_window(
+                mask, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1),
+                (((0, 0)), (1, 1), (1, 1)),
+            )
+            if not self.render_labels:
+                return jnp.maximum(m, 0.0), jnp.zeros((B, res, res), jnp.int32)
+
             # Scatter labels of depth-winning vertices (within epsilon).
             win = jnp.abs(z - zbuf[bidx, flat]) < 1e-4
             lab = jnp.broadcast_to(self.labels[None, :], (B, V))
             parts = jnp.zeros((B, res * res), jnp.int32)
             parts = parts.at[bidx, flat].max(
                 jnp.where(valid & win, lab, 0), mode="drop"
-            )
-            mask = hit.astype(jnp.float32).reshape(B, res, res)
-            # 3x3 dilation closes point-splat holes.
-            m = jax.lax.reduce_window(
-                mask, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1),
-                (((0, 0)), (1, 1), (1, 1)),
             )
             p = jax.lax.reduce_window(
                 parts.reshape(B, res, res).astype(jnp.float32), -jnp.inf, jax.lax.max,

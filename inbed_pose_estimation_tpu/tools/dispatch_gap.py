@@ -76,7 +76,9 @@ def main():
         def body(acc, _):
             x0 = inputs[0] + acc * 1e-30  # hoisting guard (see module doc)
             out = core(variables, (x0,) + inputs[1:])
-            return acc + jnp.sum(out["cam"]), None
+            # Sum a value that depends on every stage (see bench.py:
+            # cam alone lets XLA prune LBS + the joint-regression einsum).
+            return acc + jnp.sum(out["cam"]) + jnp.sum(out["keypoints_3d_17"]), None
 
         acc, _ = lax.scan(body, acc, None, length=K)
         return acc

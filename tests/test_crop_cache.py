@@ -107,11 +107,13 @@ def test_cache_border_center_zero_padding(env, tmp_path):
     build_crop_cache(ds, str(tmp_path), scale_margin=1.15)
 
     opt = _Opt()
-    opt.crop_cache = str(tmp_path)
     ds_c = ds_mod.BaseDataset(opt, "slp-4mod-train", is_train=True)
     ds_c.center[0] = np.array([3.0, 2.0])
     ds_c.center[1] = np.array([1000.0, 800.0])
-    assert ds_c._cache is not None
+    # Attach the cache directly: the constructor's index-fingerprint check
+    # would (correctly) refuse it against the UNMUTATED npz centers; this
+    # test targets the pixel semantics of edge boxes, not the refusal.
+    ds_c._cache = CropCache(str(tmp_path), "slp-4mod-train", True)
     for i in (0, 1):
         for s in (0, 5):
             a = ds.__getitem__(i, rng=np.random.default_rng(s))
@@ -133,6 +135,71 @@ def test_cache_refused_when_margin_too_small(env, tmp_path, capsys):
     ds_c = ds_mod.BaseDataset(opt, "slp-4mod-train", is_train=True)
     assert ds_c._cache is None
     assert "smaller augmentation range" in capsys.readouterr().out
+
+
+def test_cache_refused_when_index_changed(env, tmp_path, capsys):
+    """Re-extracting the npz index (same length, different centers) must
+    refuse the cache — the stored patch extents would under-cover."""
+    _, ds_mod = env
+    _build(ds_mod, tmp_path)
+    opt = _Opt()
+    opt.crop_cache = str(tmp_path)
+    ds_c = ds_mod.BaseDataset(opt, "slp-4mod-train", is_train=True)
+    assert ds_c._cache is not None  # unchanged index: accepted
+
+    from inbed_pose_estimation_tpu.data.crop_cache import CropCache
+
+    cc = CropCache(str(tmp_path), "slp-4mod-train", True)
+    shifted = ds_c.center.copy()
+    shifted[0] += 50.0
+    assert not cc.matches_index(shifted, ds_c.scale, ds_c.imgname)
+    assert cc.matches_index(ds_c.center, ds_c.scale, ds_c.imgname)
+
+
+def test_cache_corrupt_falls_back(env, tmp_path, capsys):
+    """A truncated/corrupt cache must warn and fall back to disk reads,
+    not abort dataset construction."""
+    from inbed_pose_estimation_tpu.data.crop_cache import cache_paths
+
+    _, ds_mod = env
+    _build(ds_mod, tmp_path)
+    _, idx_path = cache_paths(str(tmp_path), "slp-4mod-train", True)
+    with open(idx_path, "wb") as f:
+        f.write(b"not an npz")
+    opt = _Opt()
+    opt.crop_cache = str(tmp_path)
+    ds_c = ds_mod.BaseDataset(opt, "slp-4mod-train", is_train=True)
+    assert ds_c._cache is None
+    assert "unreadable" in capsys.readouterr().out
+    item = ds_c.__getitem__(0, rng=np.random.default_rng(0))
+    assert item["img"].shape == (RES, RES, 3)
+
+
+def test_cache_missing_modality_unc_reads_match_disk(env, tmp_path):
+    """With hasIR/hasDEPTH/hasPM False the COVERED reads fall back to the
+    RGB image but the UNCOVERED reads stay unconditional grayscale reads of
+    the original modality paths (dataset.py) — the cache must mirror both."""
+    from inbed_pose_estimation_tpu.data.crop_cache import build_crop_cache
+
+    _, ds_mod = env
+    ds = ds_mod.BaseDataset(_Opt(), "slp-4mod-train", is_train=True)
+    ds.hasIR = ds.hasDEPTH = ds.hasPM = False
+    build_crop_cache(ds, str(tmp_path), scale_margin=1.15)
+
+    opt = _Opt()
+    opt.crop_cache = str(tmp_path)
+    ds_disk = ds_mod.BaseDataset(_Opt(), "slp-4mod-train", is_train=True)
+    ds_cache = ds_mod.BaseDataset(opt, "slp-4mod-train", is_train=True)
+    ds_disk.hasIR = ds_disk.hasDEPTH = ds_disk.hasPM = False
+    ds_cache.hasIR = ds_cache.hasDEPTH = ds_cache.hasPM = False
+    assert ds_cache._cache is not None
+    for s in (0, 7):
+        for i in range(len(ds_disk)):
+            a = ds_disk.__getitem__(i, rng=np.random.default_rng(s))
+            b = ds_cache.__getitem__(i, rng=np.random.default_rng(s))
+            for k in a:
+                if isinstance(a[k], np.ndarray):
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=f"{k} i={i} s={s}")
 
 
 def test_cache_missing_falls_back(env, tmp_path, capsys):
