@@ -141,3 +141,32 @@ def test_part_renderer_mesh_mode_and_splat_divergence():
     assert p.min() >= 0 and p.max() <= 6
     assert (p[~mm] == 0).all()  # parts *= mask
     assert (p[mm] > 0).any()
+
+
+def test_part_renderer_mask_only_matches_labeled():
+    """render_labels=False (mask-only slp eval) must give the IDENTICAL
+    mask as the labeled render, with zero parts — in both mesh and splat
+    modes (it only drops the part-labeling work from the jit program)."""
+    from inbed_pose_estimation_tpu.render.part_renderer import PartRenderer
+    from inbed_pose_estimation_tpu.smpl import synthetic_smpl_model
+    from inbed_pose_estimation_tpu.smpl.model import smpl_forward
+
+    smpl = synthetic_smpl_model(seed=0)
+    B = 2
+    rng = np.random.default_rng(2)
+    betas = jnp.asarray(rng.normal(0, 0.5, (B, 10)).astype(np.float32))
+    pose = jnp.asarray(rng.normal(0, 0.2, (B, 72)).astype(np.float32))
+    verts = smpl_forward(smpl, betas, pose_aa=pose).vertices
+    cam = jnp.asarray(np.tile([0.9, 0.0, 0.0], (B, 1)).astype(np.float32))
+
+    res = 64
+    kw = dict(render_res=res, num_vertices=smpl.v_template.shape[0],
+              template=np.asarray(smpl.v_template))
+    for mode_kw in (dict(faces=np.asarray(smpl.faces)), dict()):
+        labeled = PartRenderer(**kw, **mode_kw)
+        mask_only = PartRenderer(**kw, **mode_kw, render_labels=False)
+        m1, p1 = labeled(verts, cam)
+        m0, p0 = mask_only(verts, cam)
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        assert (np.asarray(p0) == 0).all()
+        assert (np.asarray(p1) > 0).any()
