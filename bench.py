@@ -145,8 +145,38 @@ def measure_tpu(iters: int = 20) -> float:
     return max(pipelined_pass(iters) for _ in range(2))
 
 
+def _probe_backend(timeout_s: float = 300.0) -> bool:
+    """Initialize the JAX backend in a SUBPROCESS with a hard timeout.
+
+    The remote-TPU tunnel, when unreachable, makes jax.devices() hang
+    indefinitely (observed during a live outage) — a hung benchmark is
+    worse than an explicit failure line for the driver that records this
+    output.  A healthy backend initializes in well under a minute."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     baseline = get_baseline()
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "images/sec/chip batch-32 4-mod cashmrV2 inference (cascade+LBS)",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": "accelerator backend unreachable (tunnel down?) — "
+                     "probe did not initialize within 300s",
+        }))
+        raise SystemExit(1)
     ips = measure_tpu()
     print(json.dumps({
         "metric": "images/sec/chip batch-32 4-mod cashmrV2 inference (cascade+LBS)",
