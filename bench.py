@@ -145,24 +145,36 @@ def measure_tpu(iters: int = 20) -> float:
     return max(pipelined_pass(iters) for _ in range(2))
 
 
-def _probe_backend(timeout_s: float = 300.0) -> bool:
+def _probe_backend(timeout_s: float = 240.0, attempts: int = 3,
+                   backoff_s: float = 120.0) -> bool:
     """Initialize the JAX backend in a SUBPROCESS with a hard timeout.
 
     The remote-TPU tunnel, when unreachable, makes jax.devices() hang
     indefinitely (observed during a live outage) — a hung benchmark is
     worse than an explicit failure line for the driver that records this
-    output.  A healthy backend initializes in well under a minute."""
+    output.  A healthy backend initializes in well under a minute.
+
+    Retries with backoff (3 attempts spanning ~14 min by default) so one
+    transient tunnel blip can't null a round's benchmark artifact; a real
+    outage still produces the explicit error JSON."""
     import subprocess
     import sys
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            print(f"# backend probe attempt {attempt} failed; retrying in "
+                  f"{backoff_s:.0f}s", file=sys.stderr)
+            time.sleep(backoff_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
@@ -174,7 +186,7 @@ def main():
             "unit": "images/sec/chip",
             "vs_baseline": None,
             "error": "accelerator backend unreachable (tunnel down?) — "
-                     "probe did not initialize within 300s",
+                     "3 probe attempts over ~14 min did not initialize",
         }))
         raise SystemExit(1)
     ips = measure_tpu()

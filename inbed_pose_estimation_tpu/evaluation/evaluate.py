@@ -29,6 +29,7 @@ import numpy as np
 from .. import config, constants
 from ..data.loader import CheckpointDataLoader
 from ..geometry import reconstruction_error
+from ..geometry.rotations import rotmat_to_aa
 from ..smpl.model import SMPLModel, smpl_forward
 from ..data.transforms import uncrop
 from .pipeline import make_inference_fn
@@ -54,9 +55,34 @@ def load_j_regressor_h36m(path: Optional[str] = None, num_vertices: int = consta
     return J
 
 
-def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model, img_res):
+def _rodrigues(aa: np.ndarray) -> np.ndarray:
+    """cv2.Rodrigues work-alike (host, 3-vector -> 3x3)."""
+    aa = np.asarray(aa, np.float64)
+    theta = np.linalg.norm(aa)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = aa / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _stretch_depth(depth_u8: np.ndarray, black: np.ndarray) -> np.ndarray:
+    """The reference's bed/background contrast stretch (eval.py:362-367):
+    uint8 pixels below 220 (the bed) get (v - 150) * 3 with uint8
+    wraparound; background (>220) passes through; black-crop pixels -> 0."""
+    out = depth_u8.copy()
+    bed = out < 220
+    out[bed] = ((out[bed].astype(np.int64) - 150) * 3).astype(np.uint8)
+    out[black] = 0
+    return out
+
+
+def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model,
+                    img_res, pred_masks=None):
     """Write recovered-modality images and mesh overlays for inspection
-    (reference: eval.py:294-378 renders shape/side/top + recovered imgs)."""
+    (reference: eval.py:294-378): the mesh overlay, side/top rotated views,
+    COLORMAP_HOT recovered IR, the raw + COLORMAP_OCEAN recovered depth with
+    the bed/background contrast stretch, and the predicted mask png."""
     from .. import constants as C
 
     if "img" not in batch:  # raw-decode (device-preprocess) mode
@@ -79,32 +105,69 @@ def _save_artifacts(result_file, dataset_name, offset, batch, preds, smpl_model,
     )
     verts = np.asarray(preds["vertices"])
     recon = {k: np.asarray(v) for k, v in preds.get("recon", {}).items()}
+    masks = np.asarray(pred_masks) if pred_masks is not None else None
     imgs = np.asarray(batch["img"])
     mean = np.asarray(C.IMG_NORM_MEAN)
     std = np.asarray(C.IMG_NORM_STD)
     bs = imgs.shape[0]
+    around_side = _rodrigues(np.array([0.0, np.radians(90.0), 0.0]))
+    around_top = _rodrigues(np.array([-np.radians(90.0), 0.0, 0.0]))
     for i in range(min(bs, 8)):  # cap per batch to keep dumps small
         idx = offset + i
         rgb = np.clip(imgs[i] * std + mean, 0, 1)
+        # Reference black-crop mask (eval.py:355): zero-padding from the crop.
+        black = imgs[i][:, :, 0] * std[0] + mean[0] < 1e-4
         try:
             overlay = renderer(verts[i], cam_t[i], rgb)
+            # Side/top views: vertices rotated +-90deg about the vertex
+            # centroid, rendered on a blank background (eval.py:324-338).
+            center = verts[i].mean(axis=0)
+            side = renderer((verts[i] - center) @ around_side + center, cam_t[i])
+            top = renderer((verts[i] - center) @ around_top + center, cam_t[i])
             if cv2 is not None:
                 cv2.imwrite(
                     os.path.join(out_dir, f"{idx:06d}_shape.png"),
                     (overlay[:, :, ::-1] * 255).astype(np.uint8),
                 )
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{idx:06d}_shape_side.png"),
+                    (side[:, :, ::-1] * 255).astype(np.uint8),
+                )
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{idx:06d}_shape_top.png"),
+                    (top[:, :, ::-1] * 255).astype(np.uint8),
+                )
         except Exception:
             pass  # rendering is best-effort, never fails the eval
         for name, img in recon.items():
-            if cv2 is not None:
-                norm = {"depth": (C.DEPTH_NORM_MEAN, C.DEPTH_NORM_STD),
-                        "ir": (C.IR_NORM_MEAN, C.IR_NORM_STD),
-                        "pm": (C.PM_NORM_MEAN, C.PM_NORM_STD)}[name]
-                rec = np.clip(img[i, :, :, 0] * norm[1][0] + norm[0][0], 0, 1)
+            if cv2 is None:
+                continue
+            norm = {"depth": (C.DEPTH_NORM_MEAN, C.DEPTH_NORM_STD),
+                    "ir": (C.IR_NORM_MEAN, C.IR_NORM_STD),
+                    "pm": (C.PM_NORM_MEAN, C.PM_NORM_STD)}[name]
+            rec = np.clip(img[i, :, :, 0] * norm[1][0] + norm[0][0], 0, 1)
+            rec_u8 = (rec * 255).astype(np.uint8)
+            cv2.imwrite(
+                os.path.join(out_dir, f"{idx:06d}_{name}_recovered.png"),
+                rec_u8,
+            )
+            if name == "ir":  # eval.py:356-360: HOT colormap, black crop -> 0
+                ir_cm = cv2.applyColorMap(rec_u8, cv2.COLORMAP_HOT)
+                ir_cm[black] = 0
+                cv2.imwrite(os.path.join(out_dir, f"{idx:06d}_irout.png"), ir_cm)
+            elif name == "depth":  # eval.py:361-375: stretch + OCEAN colormap
+                d_st = _stretch_depth(rec_u8, black)
                 cv2.imwrite(
-                    os.path.join(out_dir, f"{idx:06d}_{name}_recovered.png"),
-                    (rec * 255).astype(np.uint8),
+                    os.path.join(out_dir, f"{idx:06d}_depthoutori.png"), d_st
                 )
+                d_cm = cv2.applyColorMap(d_st, cv2.COLORMAP_OCEAN)
+                d_cm[black] = 0
+                cv2.imwrite(os.path.join(out_dir, f"{idx:06d}_depthout.png"), d_cm)
+        if masks is not None and cv2 is not None:  # eval.py:377-378
+            cv2.imwrite(
+                os.path.join(out_dir, f"{idx:06d}_mask.png"),
+                (masks[i] > 0).astype(np.uint8) * 255,
+            )
 
 
 def run_evaluation(
@@ -410,9 +473,12 @@ def run_evaluation(
             smpl_camera[lo:hi] = np.asarray(preds["cam"])[:bs]
             pred_joints_out[lo:hi] = np.asarray(preds["keypoints_3d_17"])[:bs]
             # Artifact dumps for manual inspection (reference eval.py:294-378):
-            # recovered modality images + mesh overlays.
+            # recovered modality images, mesh overlay + side/top views,
+            # colormapped IR/depth, predicted mask.
             _save_artifacts(
-                result_file, dataset_name, lo, batch, preds, smpl_model, img_res
+                result_file, dataset_name, lo, batch, preds, smpl_model, img_res,
+                pred_masks=(masks_dev if (eval_masks or eval_parts)
+                            and part_renderer is not None else None),
             )
 
         if log_freq and step % log_freq == log_freq - 1 and eval_pose:
@@ -435,9 +501,17 @@ def run_evaluation(
         os.makedirs(result_file, exist_ok=True)
         out_dir = os.path.join(result_file, "smpl_fits")
         os.makedirs(out_dir, exist_ok=True)
+        # Match the reference export schema (eval.py:124,305-308,490): `pose`
+        # is [N, 72] axis-angle so downstream consumers of <ds>_fits.npz
+        # (e.g. seeding static fits from eval dumps) read ours unchanged.
+        # The raw rotation matrices are kept under an extra key.
+        pose_aa = np.asarray(
+            rotmat_to_aa(jnp.asarray(smpl_pose)), np.float64
+        ).reshape(n, 72)
         np.savez(
             os.path.join(out_dir, f"{dataset_name}_fits.npz"),
-            pred_joints=pred_joints_out, pose=smpl_pose, betas=smpl_betas, camera=smpl_camera,
+            pred_joints=pred_joints_out, pose=pose_aa, betas=smpl_betas,
+            camera=smpl_camera, rotmat=smpl_pose,
         )
 
     if eval_pose:
