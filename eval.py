@@ -88,6 +88,10 @@ def main():
 
             # Distinct seeds so the gender switch is observable in tests.
             smpl_gendered = (synthetic_smpl_model(seed=1), synthetic_smpl_model(seed=2))
+            print("WARNING: gendered SMPL models are SYNTHETIC stand-ins "
+                  "(seeds 1/2, unrelated to the neutral model) — gendered-GT "
+                  "metrics (3dpw-style MPJPE/PA/PVE) are meaningless outside "
+                  "tests.")
 
     frozen_guided = args.model in ("ir_depth_pm_fusion", "ir_depth_pm_rgb_fusion")
     loaded = None

@@ -89,6 +89,46 @@ def index_fingerprint(center, scale, imgname) -> str:
     return h.hexdigest()
 
 
+def source_paths(dataset):
+    """Deduped resolved paths of every file the cache build can read: the
+    four covered modalities, their cover->uncover rewrites, and the uncover
+    body mask (same resolution logic as build_crop_cache).  Deliberately
+    independent of the has* fallback flags so the fingerprint is stable
+    across flag toggles (a superset of what any configuration reads)."""
+    paths = set()
+    for i in range(len(dataset)):
+        img_p = join(dataset.img_dir, str(dataset.imgname[i]))
+        ir_p = join(dataset.img_dir, str(dataset.irimgname[i]))
+        depth_p = join(dataset.img_dir, str(dataset.depthname[i]))
+        pm_p = join(dataset.img_dir, str(dataset.pmname[i]))
+        for p in (img_p, ir_p, depth_p, pm_p):
+            paths.add(p)
+            paths.add(p.replace("cover1", "uncover").replace("cover2", "uncover"))
+        paths.add(pm_p.replace("cover1", "uncover").replace("cover2", "uncover")
+                  .replace("PM_aligned", "masks"))
+    return sorted(paths)
+
+
+def dataset_fingerprint(dataset) -> str:
+    """index_fingerprint + per-file (size, mtime_ns) of every source image.
+
+    Folding file stats in means images re-generated or re-aligned ON DISK
+    under the same names invalidate the cache instead of silently serving
+    stale pixels (ADVICE r4).  mtime is deliberately conservative: a
+    touched-but-identical file refuses the cache (one rebuild) rather than
+    risking stale serves."""
+    h = hashlib.sha1()
+    h.update(index_fingerprint(
+        dataset.center, dataset.scale, dataset.imgname).encode())
+    for p in source_paths(dataset):
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        except OSError:
+            h.update(f"{p}:missing\n".encode())
+    return h.hexdigest()
+
+
 def build_crop_cache(
     dataset,
     cache_dir: str,
@@ -201,8 +241,7 @@ def build_crop_cache(
             "scale_margin": float(scale_margin),
             "rot_covered": True,
             "modalities": list(MODALITIES),
-            "index_fingerprint": index_fingerprint(
-                dataset.center, dataset.scale, dataset.imgname),
+            "index_fingerprint": dataset_fingerprint(dataset),
         }).encode()),
     )
     return bin_path
@@ -236,11 +275,12 @@ class CropCache:
         sf = 1.0 + float(getattr(options, "scale_factor", 0.15))
         return sf <= float(self.meta["scale_margin"]) + 1e-9
 
-    def matches_index(self, center, scale, imgname) -> bool:
-        """True if the npz index the cache was built from is unchanged.
+    def matches_index(self, dataset) -> bool:
+        """True if the npz index AND the source image files the cache was
+        built from are unchanged (boxes, names, per-file size/mtime).
         Pre-fingerprint caches (no recorded hash) conservatively refuse."""
         want = self.meta.get("index_fingerprint")
-        return want is not None and want == index_fingerprint(center, scale, imgname)
+        return want is not None and want == dataset_fingerprint(dataset)
 
     def _patch(self, index: int, m: int) -> np.ndarray:
         off = int(self.offsets[index, m])

@@ -155,9 +155,9 @@ class BaseDataset:
                 if len(cc) != self.length:
                     print(f"crop cache: stale ({len(cc)} samples cached, "
                           f"split has {self.length}); reading from disk")
-                elif not cc.matches_index(self.center, self.scale, self.imgname):
-                    print("crop cache: stale (npz index changed since the "
-                          "cache was built — patch extents may under-cover); "
+                elif not cc.matches_index(self):
+                    print("crop cache: stale (npz index or source image "
+                          "files changed since the cache was built); "
                           "reading from disk")
                 elif self.is_train and self.use_augmentation and not cc.covers(options):
                     print("crop cache: built for a smaller augmentation "

@@ -12,7 +12,10 @@ Coverage note: a face larger than `tile` pixels would be under-filled, so
 the mesh's projected vertices are additionally splatted (their depth is on
 the surface, so the z-buffer stays correct); at eval scale (SMPL's 13776
 faces over a ~150px body) faces are a few pixels and the tile covers them
-fully.
+fully.  Callers that rasterize at other resolutions should scale the tile
+with the resolution (render.part_renderer.PartRenderer does this
+automatically) — `projected_face_extent` reports the actual requirement
+for a given projection so tests/tools can validate coverage.
 """
 
 from __future__ import annotations
@@ -117,6 +120,18 @@ def rasterize_sample(
 
     parts = parts * mask.astype(jnp.int32)  # parts *= mask (part_utils.py:34)
     return mask.astype(jnp.float32).reshape(res, res), parts.reshape(res, res)
+
+
+def projected_face_extent(uvz: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Max projected per-face bbox span in pixels (scalar, batch-max).
+
+    A `rasterize_sample(tile=T)` call fully fills every face whose extent
+    is < T (the tile anchors at floor(min corner)); faces at or beyond T
+    are only vertex-splatted.  uvz: [..., V, 3]."""
+    tri = jnp.take(uvz, faces, axis=-2)          # [..., F, 3, 3]
+    span_x = tri[..., 0].max(axis=-1) - tri[..., 0].min(axis=-1)
+    span_y = tri[..., 1].max(axis=-1) - tri[..., 1].min(axis=-1)
+    return jnp.maximum(span_x, span_y).max()
 
 
 def rasterize_mesh_batch(

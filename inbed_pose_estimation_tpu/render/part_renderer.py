@@ -58,9 +58,17 @@ class PartRenderer:
                  part_labels: Optional[np.ndarray] = None,
                  template: Optional[np.ndarray] = None,
                  faces: Optional[np.ndarray] = None,
-                 render_labels: bool = True):
+                 render_labels: bool = True,
+                 tile: Optional[int] = None):
         self.focal_length = focal_length
         self.render_res = render_res
+        # Triangle-fill tile: projected face extents scale linearly with
+        # render_res (same scene geometry, more pixels), so the default
+        # tile grows with it — SMPL's largest projected face at the
+        # reference's 128px render is ~5px, giving >3x headroom at every
+        # resolution instead of silent under-fill past 16px faces.
+        # ops/tri_raster.projected_face_extent measures the true need.
+        self.tile = tile if tile is not None else max(16, -(-render_res // 8))
         # render_labels=False (mask-only eval, e.g. slp splits) drops the
         # part-labeling work (barycentric argmax / label scatter) from the
         # jit program entirely — parts come back as zeros.
@@ -83,7 +91,8 @@ class PartRenderer:
             uvz = perspective_projection(vertices, eye, cam_t, self.focal_length, cc, out_3d=True)
             return rasterize_mesh_batch(
                 uvz, self.faces, res,
-                labels=self.labels if self.render_labels else None)
+                labels=self.labels if self.render_labels else None,
+                tile=self.tile)
 
         @jax.jit
         def _render(vertices, camera):

@@ -150,10 +150,46 @@ def test_cache_refused_when_index_changed(env, tmp_path, capsys):
     from inbed_pose_estimation_tpu.data.crop_cache import CropCache
 
     cc = CropCache(str(tmp_path), "slp-4mod-train", True)
-    shifted = ds_c.center.copy()
-    shifted[0] += 50.0
-    assert not cc.matches_index(shifted, ds_c.scale, ds_c.imgname)
-    assert cc.matches_index(ds_c.center, ds_c.scale, ds_c.imgname)
+    assert cc.matches_index(ds_c)
+    ds_c.center[0] += 50.0
+    assert not cc.matches_index(ds_c)
+    ds_c.center[0] -= 50.0
+    assert cc.matches_index(ds_c)
+
+
+def test_cache_refused_when_image_files_change(env, tmp_path, capsys):
+    """Images re-generated ON DISK under the same names must refuse the
+    cache (ADVICE r4): the fingerprint folds per-file size/mtime of every
+    source image, so stale pixels are never silently served."""
+    import os
+
+    _, ds_mod = env
+    _build(ds_mod, tmp_path)
+
+    from inbed_pose_estimation_tpu.data.crop_cache import (
+        CropCache,
+        source_paths,
+    )
+
+    opt = _Opt()
+    ds_c = ds_mod.BaseDataset(opt, "slp-4mod-train", is_train=True)
+    cc = CropCache(str(tmp_path), "slp-4mod-train", True)
+    assert cc.matches_index(ds_c)
+
+    # Touch one source image (simulates re-generation): refused.
+    victim = source_paths(ds_c)[0]
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    try:
+        assert not cc.matches_index(ds_c)
+        opt2 = _Opt()
+        opt2.crop_cache = str(tmp_path)
+        ds2 = ds_mod.BaseDataset(opt2, "slp-4mod-train", is_train=True)
+        assert ds2._cache is None
+        assert "source image" in capsys.readouterr().out
+    finally:
+        os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert cc.matches_index(ds_c)
 
 
 def test_cache_corrupt_falls_back(env, tmp_path, capsys):

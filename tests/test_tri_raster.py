@@ -170,3 +170,133 @@ def test_part_renderer_mask_only_matches_labeled():
         np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
         assert (np.asarray(p0) == 0).all()
         assert (np.asarray(p1) > 0).any()
+
+
+def test_projected_face_extent_and_auto_tile():
+    """projected_face_extent reports the tile requirement, and
+    PartRenderer's auto-tile (ceil(render_res/8), floor 16) keeps faces
+    covered when render_res grows — the close-up/large-res regime where a
+    fixed 16px tile would silently under-fill (ADVICE r4)."""
+    from inbed_pose_estimation_tpu.ops.tri_raster import projected_face_extent
+    from inbed_pose_estimation_tpu.render.part_renderer import PartRenderer
+
+    # Extent: a 10x7 triangle -> max span 10.
+    uvz = _uvz([[4, 4, 10.0], [14, 4, 10.0], [4, 11, 10.0]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    assert float(projected_face_extent(uvz, faces)) == pytest.approx(10.0)
+
+    # Auto-tile scales with render_res; explicit tile is honored.
+    assert PartRenderer(render_res=128, num_vertices=8).tile == 16
+    assert PartRenderer(render_res=448, num_vertices=8).tile == 56
+    assert PartRenderer(render_res=448, num_vertices=8, tile=16).tile == 16
+
+    # A face of ~24px extent: under-filled interior with tile=16 (the tile
+    # anchors at the bbox corner, covering x in [10, 25] only), hole-free
+    # with the auto tile.  (12, 28) is inside the triangle, not a vertex.
+    big = _uvz([[10, 10, 10.0], [34, 10, 10.0], [10, 34, 10.0]])
+    m16, _ = rasterize_sample(big, faces, 48, tile=16)
+    m_auto, _ = rasterize_sample(big, faces, 48, tile=32)
+    assert np.asarray(m_auto)[18, 12] == 1.0   # interior pixel filled
+    assert np.asarray(m16)[12, 28] == 0.0      # beyond the 16px tile: hole
+    assert np.asarray(m_auto)[12, 28] == 1.0
+
+
+def test_part_boundary_drift_vs_interpolated_labels():
+    """Quantify ADVICE r4's part-label approximation: our per-pixel label is
+    the max-barycentric CORNER of the depth-winning face, vs the reference's
+    interpolated vertex texture + cube lookup (part_utils.py:28-36), which
+    behaves like barycentric interpolation + rounding.
+
+    The structural claim this test PINS is localization: every disagreeing
+    pixel sits within 1px of a part-label boundary (in the oracle's
+    labeling), never in a part interior — the property parts-F1 cares
+    about.  Mesh: a structured triangulated plane with ~3px local faces
+    and 6 label bands — the same local-face regime as a real SMPL body
+    (a few px per face at eval scale).  Measured drift is recorded in
+    PARITY.md (part-label drift)."""
+    # Grid mesh in pixel space: (K+1)^2 vertices over ~[8, 104]^2, faces
+    # ~3px, slight deterministic jitter so edges aren't axis-aligned.
+    res = 128
+    K = 32
+    lin = np.linspace(8.0, 104.0, K + 1)
+    gx, gy = np.meshgrid(lin, lin, indexing="xy")
+    rng = np.random.default_rng(3)
+    gx = gx + rng.uniform(-0.4, 0.4, gx.shape)
+    gy = gy + rng.uniform(-0.4, 0.4, gy.shape)
+    gz = 10.0 + 0.05 * np.sin(gx / 9.0) * np.cos(gy / 7.0)
+    verts_px = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)
+
+    def vid(r, c):
+        return r * (K + 1) + c
+
+    faces_np = []
+    for r in range(K):
+        for c in range(K):
+            faces_np.append([vid(r, c), vid(r, c + 1), vid(r + 1, c)])
+            faces_np.append([vid(r, c + 1), vid(r + 1, c + 1), vid(r + 1, c)])
+    faces_np = np.asarray(faces_np, np.int32)
+    # 6 horizontal label bands over the vertex rows (spatially coherent,
+    # like cube_parts over a body).
+    labels_np = (np.minimum(
+        (np.repeat(np.arange(K + 1), K + 1) * 6) // (K + 1), 5) + 1
+    ).astype(np.int32)
+
+    uvz = verts_px.astype(np.float32)
+    mask, parts = rasterize_sample(
+        jnp.asarray(uvz), jnp.asarray(faces_np), res,
+        labels=jnp.asarray(labels_np))
+    parts = np.asarray(parts)
+    body = np.asarray(mask) > 0
+
+    # Oracle: same triangles + z-buffer winners, but INTERPOLATED labels
+    # (rounded) — neural_renderer's vertex-texture mechanism — recomputed
+    # with a dense per-face loop.
+    tri = uvz[faces_np]          # [F, 3, 3]
+    lab3 = labels_np[faces_np].astype(np.float64)   # [F, 3]
+    zbuf = np.full((res, res), np.inf)
+    interp = np.zeros((res, res), np.int64)
+    xs = tri[..., 0]
+    ys = tri[..., 1]
+    zs = tri[..., 2]
+    for f in range(len(faces_np)):
+        x0, y0 = xs[f, 0], ys[f, 0]
+        x1, y1 = xs[f, 1], ys[f, 1]
+        x2, y2 = xs[f, 2], ys[f, 2]
+        denom = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+        if denom == 0:
+            continue
+        pxl = np.arange(max(0, int(np.floor(min(x0, x1, x2)))),
+                        min(res, int(np.ceil(max(x0, x1, x2))) + 1))
+        pyl = np.arange(max(0, int(np.floor(min(y0, y1, y2)))),
+                        min(res, int(np.ceil(max(y0, y1, y2))) + 1))
+        if not len(pxl) or not len(pyl):
+            continue
+        PX, PY = np.meshgrid(pxl, pyl)
+        w0 = (x2 - x1) * (PY - y1) - (y2 - y1) * (PX - x1)
+        w1 = (x0 - x2) * (PY - y2) - (y0 - y2) * (PX - x2)
+        w2 = (x1 - x0) * (PY - y0) - (y1 - y0) * (PX - x0)
+        sgn = np.sign(denom)
+        inside = (w0 * sgn >= 0) & (w1 * sgn >= 0) & (w2 * sgn >= 0)
+        b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+        zp = b0 * zs[f, 0] + b1 * zs[f, 1] + b2 * zs[f, 2]
+        lp = b0 * lab3[f, 0] + b1 * lab3[f, 1] + b2 * lab3[f, 2]
+        upd = inside & (zp > 0) & (zp < zbuf[PY, PX])
+        zbuf[PY[upd], PX[upd]] = zp[upd]
+        interp[PY[upd], PX[upd]] = np.rint(lp[upd]).astype(np.int64)
+
+    both = body & np.isfinite(zbuf)
+    diff = (parts != interp) & both
+    drift = diff.sum() / max(both.sum(), 1)
+    print(f"part-label drift vs interpolated-rounded oracle: "
+          f"{100 * drift:.2f}% of body pixels ({diff.sum()}/{both.sum()})")
+    # Boundary-localized drift: EVERY differing pixel is within 1px of a
+    # label boundary in the ORACLE labeling (a 3x3 neighbor holds a
+    # different oracle label) — no interior mislabeling, the property
+    # parts-F1 cares about.  With 6 bands over ~96px the boundary band is
+    # ~5/96 of the body; drift must stay in that order.
+    assert both.sum() > 5000  # non-trivial comparison
+    assert drift < 0.10
+    dy, dx = np.nonzero(diff)
+    for y, x in zip(dy, dx):
+        nb = interp[max(0, y - 1):y + 2, max(0, x - 1):x + 2]
+        assert (nb != interp[y, x]).any(), (y, x)
