@@ -378,6 +378,10 @@ def make_train_step(model, spec, smpl_model: SMPLModel, prior, options, bar_mode
         )
         return new_state, metrics
 
+    # Exposed for tools/train_breakdown.py: timing loss_fn fwd-only and
+    # value_and_grad(loss_fn) separately from the full step attributes the
+    # measured step time to fwd / bwd / optimizer+state phases.
+    train_step._loss_fn = loss_fn
     return train_step, tx
 
 
