@@ -219,10 +219,21 @@ def profile_train(batch: int, res: int = 224, num_cas: int = 2, iters: int = 10,
 
     new_state, metrics = compiled(state, data)
     float(metrics["loss"])  # warmup + force completion
+    # One-deep pipelined fetch: dispatch step i, then fetch step i-1's loss
+    # while i computes — the real trainer's protocol (StepTimer windows +
+    # deferred metric fetches), and bench.py's.  A serial per-iter fetch
+    # adds a full host<->device round trip to every step (+~31 ms on this
+    # tunneled host, measured by tools/latency_mode.py), which mis-charges
+    # tunnel RTT to the chip.  The data-dependent sync is preserved: the
+    # fetched loss from step i-1 forces that step's completion.
+    prev = None
     t0 = time.perf_counter()
     for _ in range(iters):
         new_state, metrics = compiled(state, data)
-        _ = float(metrics["loss"])  # per-iter fetch (see module docstring)
+        if prev is not None:
+            _ = float(prev)
+        prev = metrics["loss"]
+    _ = float(prev)
     dt = (time.perf_counter() - t0) / iters
 
     peak = guess_peak()

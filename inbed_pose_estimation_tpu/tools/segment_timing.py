@@ -149,7 +149,11 @@ def main():
     def dec_fn(v, *p):
         return dec.apply(v, *p)
 
-    guard = lambda a, acc: (a[0], a[1] + acc * jnp.asarray(1e-30, dt)) + a[2:]
+    # Perturb EVERY pyramid level: the decoder's deep stages depend only on
+    # the deeper skips, so a shallowest-level-only guard leaves them
+    # loop-invariant and hoistable out of the scan.
+    guard = lambda a, acc: (a[0],) + tuple(
+        p + acc.astype(dt) * 1e-30 for p in a[1:])
     dm = _time_scan(dec_fn, (dvars,) + pyr, guard, K, args.dispatches)
     sol = _sol_ms(jax.jit(dec_fn).lower(dvars, *pyr).as_text())
     report("decoder", dm, sol, 1)
@@ -165,7 +169,8 @@ def main():
     def head_fn(v, f, p, s, c):
         return head.apply(v, f, p, s, c)
 
-    guard = lambda a, acc: (a[0], a[1] + acc * jnp.asarray(1e-30, dt)) + a[2:]
+    guard = lambda a, acc: (a[0],) + tuple(
+        x + acc.astype(dt) * 1e-30 for x in a[1:])
     hm = _time_scan(head_fn, (hvars, xf, ip, ish, ic), guard, K, args.dispatches)
     sol = _sol_ms(jax.jit(head_fn).lower(hvars, xf, ip, ish, ic).as_text())
     report("head", hm, sol, 2)
@@ -181,7 +186,7 @@ def main():
         k17 = jnp.einsum("jv,bvc->bjc", jreg, out.vertices)
         return {"v": out.vertices, "k17": k17}
 
-    guard = lambda a, acc: (a[0] + acc * 1e-30, a[1])
+    guard = lambda a, acc: (a[0] + acc * 1e-30, a[1] + acc * 1e-30)
     sm = _time_scan(smpl_fn, (rotmat, betas), guard, K, args.dispatches)
     sol = _sol_ms(jax.jit(smpl_fn).lower(rotmat, betas).as_text())
     report("smpl", sm, sol, 1)
@@ -201,7 +206,7 @@ def main():
         out = core(v, ins)
         return {"cam": out["cam"], "k17": out["keypoints_3d_17"]}
 
-    guard = lambda a, acc: (a[0], (a[1][0] + acc * 1e-30,) + tuple(a[1][1:]))
+    guard = lambda a, acc: (a[0], tuple(x + acc * 1e-30 for x in a[1]))
     fm = _time_scan(full_fn, (variables, inputs), guard, K, args.dispatches)
     sol = _sol_ms(jax.jit(full_fn).lower(variables, inputs).as_text())
     report("full", fm, sol, 1)
