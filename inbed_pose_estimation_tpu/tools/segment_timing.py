@@ -23,8 +23,11 @@ XLA's whole-graph schedule gains/loses vs the parts; measured-vs-SOL per
 segment shows WHERE the 28-vs-16 ms lives.
 
 Usage: python -m inbed_pose_estimation_tpu.tools.segment_timing
-       [--batch 32] [--k 8] [--dispatches 6]
-Prints one JSON line per segment.
+       [--batch 32] [--k 8] [--dispatches 6] [--dec_stages]
+Prints one JSON line per segment.  --dec_stages instead drills into the
+decoder: each level (dec1..dec4, the final reduce+ResBlock x2 trunk,
+final_up, proj) timed as its own sound-guarded device loop vs its own
+SOL, so the decoder's measured-vs-floor gap is attributed per stage.
 """
 
 from __future__ import annotations
@@ -83,12 +86,72 @@ def _sol_ms(jitted_lowered_text):
     return sum(g["sol_s"] for g in groups.values()) * 1e3
 
 
+def _dec_stages(args):
+    """Per-decoder-level drill-down (see module docstring)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.decoder import (ResBlock, SmallOCConv3x3, Upsampler,
+                                  _DecStage)
+
+    B, K = args.batch, args.k
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
+
+    class _FinalTrunk(nn.Module):
+        """final_reduce (1x1 192->128) + ResBlock x2 at 112^2."""
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = nn.Conv(128, (1, 1), use_bias=False, dtype=dt,
+                        name="final_reduce")(x)
+            h = ResBlock(128, dt, name="final_res0")(h, train)
+            return ResBlock(128, dt, name="final_res1")(h, train)
+
+    s = args.res // 32  # 7 at 224^2
+    stages = [
+        ("dec1", _DecStage(1024, dt), (B, s, s, 2048)),
+        ("dec2", _DecStage(512, dt), (B, 2 * s, 2 * s, 2048)),
+        ("dec3", _DecStage(256, dt), (B, 4 * s, 4 * s, 1024)),
+        ("dec4", _DecStage(128, dt), (B, 8 * s, 8 * s, 512)),
+        ("final_trunk", _FinalTrunk(), (B, 16 * s, 16 * s, 192)),
+        ("final_up", Upsampler(128, dt), (B, 16 * s, 16 * s, 128)),
+        ("proj", SmallOCConv3x3(1, dt), (B, 32 * s, 32 * s, 128)),
+    ]
+    total_ms, total_sol = 0.0, 0.0
+    for name, mod, shape in stages:
+        x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32), dtype=dt)
+        v = mod.init(jax.random.PRNGKey(0), x[:2])
+
+        def fn(v, x, _mod=mod):
+            return _mod.apply(v, x)
+
+        guard = lambda a, acc: (a[0], a[1] + acc.astype(dt) * 1e-30)
+        ms = _time_scan(fn, (v, x), guard, K, args.dispatches)
+        sol = _sol_ms(jax.jit(fn).lower(v, x).as_text())
+        total_ms += ms
+        total_sol += sol
+        print(json.dumps({
+            "stage": name, "in_shape": list(shape),
+            "measured_ms": round(ms, 2), "sol_ms": round(sol, 2),
+            "sol_fraction": round(sol / ms, 3) if ms else None,
+        }), flush=True)
+    print(json.dumps({
+        "stage": "sum_of_stages", "measured_ms": round(total_ms, 2),
+        "sol_ms": round(total_sol, 2),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--res", type=int, default=224)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--dispatches", type=int, default=6)
+    ap.add_argument("--dec_stages", action="store_true",
+                    help="per-decoder-level drill-down instead of the "
+                         "segment table")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +160,10 @@ def main():
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.dec_stages:
+        _dec_stages(args)
+        return
 
     from ..evaluation.evaluate import load_j_regressor_h36m
     from ..evaluation.pipeline import make_inference_fn
