@@ -82,6 +82,54 @@ class SmallOCConv3x3(nn.Module):
         return out.astype(self.dtype)
 
 
+class Split1x1(nn.Module):
+    """1x1 conv over `concat([skip, x], -1)` without materializing the concat.
+
+    Each decoder level starts by concatenating its skip input with the
+    upsampled stream and reducing channels with a 1x1 conv
+    (reference models/hmr.py:115-127).  The concatenate is pure HBM
+    traffic: XLA must materialize the conv's operand, so the fused tensor
+    is written once and read back — ~670 MB/batch-32 across the four
+    levels, measured as the decoder's ~1.9 ms "interface glue"
+    (PARITY.md round-5 drill-down).  A 1x1 conv over concatenated
+    channels is exactly the sum of two 1x1 convs with the kernel split at
+    the concat boundary, so computing `skip @ k[:c1] + x @ k[c1:]` reads
+    each operand directly and never forms the concat; the add fuses into
+    the second dot's epilogue.
+
+    Numerics: the channel reduction is split at c1 and each partial is
+    rounded to `dtype` before the add (one extra rounding vs the single
+    f32 accumulator of the fused conv) — at f32 this is reassociation-
+    level (~1e-6, covered by the golden-parity tolerances); at bf16 it
+    adds one rounding on activations that are already bf16 everywhere.
+
+    Parameter tree is identical to nn.Conv(features, (1,1),
+    use_bias=False): one `kernel` [1, 1, c_skip + c_x, features], skip
+    channels first — checkpoints and the torch converter are unaffected
+    (tests/test_decoder_proj.py pins split-vs-concat equality).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        cin = x.shape[-1] + (0 if skip is None else skip.shape[-1])
+        kernel = self.param(
+            "kernel",
+            nn.linear.default_kernel_init,
+            (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        k = kernel[0, 0].astype(self.dtype)
+        x = x.astype(self.dtype)
+        if skip is None:
+            return jnp.einsum("bhwc,cf->bhwf", x, k)
+        c1 = skip.shape[-1]
+        a = jnp.einsum("bhwc,cf->bhwf", skip.astype(self.dtype), k[:c1])
+        return a + jnp.einsum("bhwc,cf->bhwf", x, k[c1:])
+
+
 class ResBlock(nn.Module):
     """conv3-BN-ReLU-conv3-BN with identity residual (models/hmr.py:50-72)."""
 
@@ -180,14 +228,18 @@ class Upsampler(nn.Module):
 
 
 class _DecStage(nn.Module):
-    """1x1 channel-reduce + ResBlock + Upsampler — one decoder level."""
+    """1x1 channel-reduce + ResBlock + Upsampler — one decoder level.
+
+    `skip` (when given) is the level's skip input, reduced jointly with
+    `x` as if `concat([skip, x], -1)` had been fed to the 1x1 conv — but
+    without materializing the concat (see Split1x1)."""
 
     features: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        h = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="reduce")(x)
+    def __call__(self, x, train: bool = False, skip=None):
+        h = Split1x1(self.features, self.dtype, name="reduce")(x, skip)
         h = ResBlock(self.features, self.dtype, name="res")(h, train)
         h = Upsampler(self.features, self.dtype, name="up")(h, train)
         return h
@@ -208,16 +260,14 @@ class Reconstruct(nn.Module):
 
     @nn.compact
     def __call__(self, x0, x1, x2, x3, x4, train: bool = False):
-        h = _DecStage(1024, self.dtype, name="dec1")(x4, train)       # 14^2
-        h = jnp.concatenate([x3, h], axis=-1)
-        h = _DecStage(512, self.dtype, name="dec2")(h, train)         # 28^2
-        h = jnp.concatenate([x2, h], axis=-1)
-        h = _DecStage(256, self.dtype, name="dec3")(h, train)         # 56^2
-        h = jnp.concatenate([x1, h], axis=-1)
-        h = _DecStage(128, self.dtype, name="dec4")(h, train)         # 112^2
-        h = jnp.concatenate([x0, h], axis=-1)
+        # Skip "concatenation" at each level is fused into the level's 1x1
+        # reduce (Split1x1) — same math, no materialized concat tensors.
+        h = _DecStage(1024, self.dtype, name="dec1")(x4, train)            # 14^2
+        h = _DecStage(512, self.dtype, name="dec2")(h, train, skip=x3)     # 28^2
+        h = _DecStage(256, self.dtype, name="dec3")(h, train, skip=x2)     # 56^2
+        h = _DecStage(128, self.dtype, name="dec4")(h, train, skip=x1)     # 112^2
 
-        h = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype, name="final_reduce")(h)
+        h = Split1x1(128, self.dtype, name="final_reduce")(h, skip=x0)
         h = ResBlock(128, self.dtype, name="final_res0")(h, train)
         h = ResBlock(128, self.dtype, name="final_res1")(h, train)
         h = Upsampler(128, self.dtype, name="final_up")(h, train)     # 224^2

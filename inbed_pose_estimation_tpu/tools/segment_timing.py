@@ -92,44 +92,63 @@ def _dec_stages(args):
     import jax
     import jax.numpy as jnp
 
-    from ..models.decoder import (ResBlock, SmallOCConv3x3, Upsampler,
-                                  _DecStage)
+    from ..models.decoder import (ResBlock, SmallOCConv3x3, Split1x1,
+                                  Upsampler, _DecStage)
 
     B, K = args.batch, args.k
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
 
     class _FinalTrunk(nn.Module):
-        """final_reduce (1x1 192->128) + ResBlock x2 at 112^2."""
+        """final_reduce (split 1x1 [64|128]->128) + ResBlock x2 at 112^2."""
 
         @nn.compact
-        def __call__(self, x, train: bool = False):
-            h = nn.Conv(128, (1, 1), use_bias=False, dtype=dt,
-                        name="final_reduce")(x)
+        def __call__(self, x, skip=None, train: bool = False):
+            h = Split1x1(128, dt, name="final_reduce")(x, skip)
             h = ResBlock(128, dt, name="final_res0")(h, train)
             return ResBlock(128, dt, name="final_res1")(h, train)
 
     s = args.res // 32  # 7 at 224^2
+    # (x_shape, skip_shape): skips are fused into each level's 1x1 reduce
+    # (Split1x1) instead of a materialized concat.
     stages = [
-        ("dec1", _DecStage(1024, dt), (B, s, s, 2048)),
-        ("dec2", _DecStage(512, dt), (B, 2 * s, 2 * s, 2048)),
-        ("dec3", _DecStage(256, dt), (B, 4 * s, 4 * s, 1024)),
-        ("dec4", _DecStage(128, dt), (B, 8 * s, 8 * s, 512)),
-        ("final_trunk", _FinalTrunk(), (B, 16 * s, 16 * s, 192)),
-        ("final_up", Upsampler(128, dt), (B, 16 * s, 16 * s, 128)),
-        ("proj", SmallOCConv3x3(1, dt), (B, 32 * s, 32 * s, 128)),
+        ("dec1", _DecStage(1024, dt), (B, s, s, 2048), None),
+        ("dec2", _DecStage(512, dt), (B, 2 * s, 2 * s, 1024),
+         (B, 2 * s, 2 * s, 1024)),
+        ("dec3", _DecStage(256, dt), (B, 4 * s, 4 * s, 512),
+         (B, 4 * s, 4 * s, 512)),
+        ("dec4", _DecStage(128, dt), (B, 8 * s, 8 * s, 256),
+         (B, 8 * s, 8 * s, 256)),
+        ("final_trunk", _FinalTrunk(), (B, 16 * s, 16 * s, 128),
+         (B, 16 * s, 16 * s, 64)),
+        ("final_up", Upsampler(128, dt), (B, 16 * s, 16 * s, 128), None),
+        ("proj", SmallOCConv3x3(1, dt), (B, 32 * s, 32 * s, 128), None),
     ]
     total_ms, total_sol = 0.0, 0.0
-    for name, mod, shape in stages:
+    for name, mod, shape, skip_shape in stages:
         x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32), dtype=dt)
-        v = mod.init(jax.random.PRNGKey(0), x[:2])
+        has_skip = skip_shape is not None
+        if has_skip:
+            sk = jnp.asarray(rng.normal(0, 1, skip_shape).astype(np.float32),
+                             dtype=dt)
+            v = mod.init(jax.random.PRNGKey(0), x[:2], skip=sk[:2])
 
-        def fn(v, x, _mod=mod):
-            return _mod.apply(v, x)
+            def fn(v, x, sk, _mod=mod):
+                return _mod.apply(v, x, skip=sk)
 
-        guard = lambda a, acc: (a[0], a[1] + acc.astype(dt) * 1e-30)
-        ms = _time_scan(fn, (v, x), guard, K, args.dispatches)
-        sol = _sol_ms(jax.jit(fn).lower(v, x).as_text())
+            guard = lambda a, acc: (a[0], a[1] + acc.astype(dt) * 1e-30,
+                                    a[2] + acc.astype(dt) * 1e-30)
+            ms = _time_scan(fn, (v, x, sk), guard, K, args.dispatches)
+            sol = _sol_ms(jax.jit(fn).lower(v, x, sk).as_text())
+        else:
+            v = mod.init(jax.random.PRNGKey(0), x[:2])
+
+            def fn(v, x, _mod=mod):
+                return _mod.apply(v, x)
+
+            guard = lambda a, acc: (a[0], a[1] + acc.astype(dt) * 1e-30)
+            ms = _time_scan(fn, (v, x), guard, K, args.dispatches)
+            sol = _sol_ms(jax.jit(fn).lower(v, x).as_text())
         total_ms += ms
         total_sol += sol
         print(json.dumps({

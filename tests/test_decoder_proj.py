@@ -84,6 +84,59 @@ def test_reconstruct_param_tree_unchanged_and_finite():
     assert out.shape == (1, 32, 32, 1)
 
 
+@pytest.mark.parametrize("c_skip,c_x,f", [(16, 16, 8), (5, 11, 4)])
+def test_split1x1_matches_concat_conv_f32(c_skip, c_x, f):
+    """Split1x1(x, skip) == nn.Conv(1x1)(concat([skip, x])): same param
+    tree (one [1,1,c_skip+c_x,f] kernel, skip channels first), same math
+    up to f32 reassociation at the split boundary."""
+    from inbed_pose_estimation_tpu.models.decoder import Split1x1
+
+    rng = np.random.default_rng(11)
+    skip = jnp.asarray(rng.normal(0, 1, (2, 6, 7, c_skip)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1, (2, 6, 7, c_x)).astype(np.float32))
+    mod = Split1x1(f)
+    v = mod.init(jax.random.PRNGKey(0), x, skip)
+    assert set(v["params"].keys()) == {"kernel"}
+    assert v["params"]["kernel"].shape == (1, 1, c_skip + c_x, f)
+
+    direct = nn.Conv(f, (1, 1), use_bias=False)
+    ref = direct.apply(v, jnp.concatenate([skip, x], axis=-1))
+    got = mod.apply(v, x, skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_split1x1_no_skip_is_plain_1x1_conv():
+    from inbed_pose_estimation_tpu.models.decoder import Split1x1
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(0, 1, (3, 4, 5, 24)).astype(np.float32))
+    mod = Split1x1(6)
+    v = mod.init(jax.random.PRNGKey(1), x)
+    assert v["params"]["kernel"].shape == (1, 1, 24, 6)
+    ref = nn.Conv(6, (1, 1), use_bias=False).apply(v, x)
+    got = mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_split1x1_bf16_tolerance():
+    """bf16 partials round once before the add — ~bf16-ulp level drift vs
+    the f32 concat-conv oracle on unit-scale inputs."""
+    from inbed_pose_estimation_tpu.models.decoder import Split1x1
+
+    rng = np.random.default_rng(13)
+    skip = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)).astype(np.float32))
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)).astype(np.float32))
+    mod = Split1x1(16, dtype=jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(2), x, skip)
+    ref = nn.Conv(16, (1, 1), use_bias=False, dtype=jnp.float32).apply(
+        v, jnp.concatenate([skip, x], axis=-1))
+    got = mod.apply(v, x, skip).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
 class _PostShuffleUpsampler(nn.Module):
     """The original formulation: conv -> PixelShuffle -> BN (post-shuffle).
 
